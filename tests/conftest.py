@@ -1,0 +1,15 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual CPU mesh, the analogue of
+the reference's per-ISA TEST_REQUIRES gates (test strategy: SURVEY.md section 4).
+Set QNNPACK_TPU_TEST_PLATFORM=tpu to run the suite on real hardware instead.
+"""
+
+import os
+
+if os.environ.get("QNNPACK_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
