@@ -1,0 +1,109 @@
+"""Pallas TPU int8 GEMM kernel with fused requantization epilogue.
+
+The MXU-native replacement for the reference's q8gemm microkernel family
+(src/q8gemm/4x8-neon.c, 8x8-aarch64-neon.S, ...).  Where NEON tiles are
+4x8/8x8 with kr-interleaved panels, the MXU tile is 128x128 and the natural
+layout is a plain [K, N] int8 matrix; K is streamed through VMEM with an
+int32 accumulator held in scratch, and the requantization epilogue
+(bias + zero-point row correction + Q31/fp32 rounding + clamp) runs on the
+VPU in the final K step so the int32 accumulator never touches HBM - the
+TPU equivalent of the in-kernel requantization the reference does before
+each store (4x8-neon.c:265-320).
+
+Activation row sums (the dynamic zero-point term) are accumulated in-kernel
+alongside the matmul, generalizing the reference's two-phase XZP row-sum
+path (operator-run.c:711-768) into a single fused pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.dtypes import u8_to_biased_i8
+from ..nn.packing import PackedGemmWeights, pad_to_multiple, round_up
+from ..nn.requant_dispatch import apply_requant
+
+
+def _q8gemm_kernel(a_ref, w_ref, bias_ref, out_ref, acc_ref, rs_ref, *,
+                   rparams, kzp_biased: int, k_tiles: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        rs_ref[...] = jnp.zeros_like(rs_ref)
+
+    a = a_ref[...]
+    acc_ref[...] += jax.lax.dot_general(
+        a, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    rs_ref[...] += jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+
+    @pl.when(k == k_tiles - 1)
+    def _epilogue():
+        acc = acc_ref[...] + bias_ref[...] - jnp.int32(kzp_biased) * rs_ref[...]
+        out_ref[...] = apply_requant(acc, rparams)
+
+
+@functools.partial(jax.jit, static_argnames=("rparams", "tile_m", "tile_n",
+                                             "tile_k", "interpret"))
+def q8gemm_pallas(a_u8, packed: PackedGemmWeights, rparams, *,
+                  tile_m: int = 128, tile_n: int = 128, tile_k: int = 512,
+                  interpret: bool = False):
+    """Quantized GEMM uint8 [M, K] -> uint8 [M, N] on the MXU.
+
+    Bit-identical to nn.gemm.q8gemm (and therefore to the reference
+    accumulator + requantization contract).
+    """
+    m, k = a_u8.shape
+    assert k == packed.k, f"K mismatch: activations {k} vs packed {packed.k}"
+    n = packed.n
+
+    a = u8_to_biased_i8(a_u8)
+    # Zero padding is exact: 0 contributes nothing to the dot or the row sums,
+    # and the packed bias uses the logical K.
+    tile_m = min(tile_m, round_up(m, 32))
+    tile_k = min(tile_k, round_up(k, 128))
+    tile_n = min(tile_n, round_up(n, 128))
+    a = pad_to_multiple(pad_to_multiple(a, 0, tile_m), 1, tile_k)
+    w = pad_to_multiple(pad_to_multiple(packed.w, 0, tile_k), 1, tile_n)
+    bias = pad_to_multiple(packed.bias_folded[None, :], 1, tile_n)
+
+    mp, kp = a.shape
+    np_ = w.shape[1]
+    k_tiles = kp // tile_k
+    grid = (mp // tile_m, np_ // tile_n, k_tiles)
+
+    out = pl.pallas_call(
+        functools.partial(_q8gemm_kernel, rparams=rparams,
+                          kzp_biased=packed.kzp_biased, k_tiles=k_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((tile_k, tile_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, tile_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, tile_n), jnp.int32),
+            pltpu.VMEM((tile_m, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, w, bias)
+    return out[:m, :n]

@@ -1,0 +1,35 @@
+"""Quantized GEMM: the compute core of FC / 1x1-conv / conv-as-GEMM.
+
+Functional XLA implementation of the reference's q8gemm microkernel contract
+(src/q8gemm/, ukernel typedef src/qnnpack/params.h:267-277): uint8 activations
+x packed weights -> int32 accumulator with zero-point algebra -> fused
+requantization -> uint8.
+
+The int8 x int8 -> int32 `dot` maps straight onto the MXU; everything else is
+a VPU epilogue that XLA fuses.  A hand-tuned Pallas version with the epilogue
+fused into the matmul's final K step lives in kernels/q8gemm.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .dtypes import u8_to_biased_i8
+from .packing import PackedGemmWeights
+from .requant_dispatch import apply_requant
+
+
+def q8gemm_acc(a_u8, packed: PackedGemmWeights):
+    """int32 accumulator of the quantized GEMM: [M, K] x [K, N] -> [M, N].
+
+    Bit-identical to the reference accumulator sum_k (a - za)(w - zw) + bias.
+    """
+    a = u8_to_biased_i8(a_u8)  # [M, K] int8
+    acc = jnp.dot(a, packed.w, preferred_element_type=jnp.int32)
+    row_sums = jnp.sum(a.astype(jnp.int32), axis=-1, keepdims=True)  # [M, 1]
+    return acc + packed.bias_folded[None, :] - jnp.int32(packed.kzp_biased) * row_sums
+
+
+def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
+    """Full quantized GEMM: uint8 [M, K] -> uint8 [M, N]."""
+    return apply_requant(q8gemm_acc(a_u8, packed), rparams)

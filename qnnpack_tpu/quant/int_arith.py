@@ -79,6 +79,23 @@ def smul32_wide(a, b):
     return hi, lo
 
 
+def smul32_wide_const(a, b: int):
+    """Signed 64-bit product of an int32 array and a *static* int32 constant.
+
+    Avoids bitcasting scalars (unsupported by Mosaic) and resolves the
+    constant's sign correction at trace time.
+    """
+    assert isinstance(b, int) and -(2**31) <= b < 2**31
+    a = jnp.asarray(a, jnp.int32)
+    au = u32(a)
+    bu = jnp.uint32(b & 0xFFFFFFFF)
+    hi, lo = umul32_wide(au, bu)
+    hi = hi - jnp.where(a < 0, bu, jnp.uint32(0))
+    if b < 0:
+        hi = hi - au
+    return hi, lo
+
+
 def add64(hi_a, lo_a, hi_b, lo_b):
     """64-bit addition of (hi, lo) uint32 pairs with carry propagation."""
     lo = lo_a + lo_b

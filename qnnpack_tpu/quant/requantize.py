@@ -45,7 +45,7 @@ def q31_multiply(x, multiplier: int):
     The VQRDMULH.S32 analogue (constant +2^30 nudge); saturation is
     unreachable because multiplier is always positive.
     """
-    hi, lo = ia.smul32_wide(x, jnp.int32(multiplier))
+    hi, lo = ia.smul32_wide_const(x, multiplier)
     hi, lo = ia.add64_scalar(hi, lo, 0x40000000)
     return ia.i32((lo >> 31) | (hi << 1))
 
@@ -95,8 +95,7 @@ def requantize_fp32(x, params: FP32Params):
 def requantize_gemmlowp(x, params: GemmlowpParams):
     """gemmlowp-semantics requantization (test/bench parity oracle)."""
     x = jnp.asarray(x, jnp.int32)
-    m = jnp.int32(params.multiplier)
-    hi, lo = ia.smul32_wide(x, m)
+    hi, lo = ia.smul32_wide_const(x, params.multiplier)
     # Sign-dependent nudge; multiplier > 0 so sign(x^m) == sign(x).
     neg = x < 0
     nudge_lo = jnp.where(neg, jnp.uint32((-0x3FFFFFFF) & 0xFFFFFFFF),
@@ -127,7 +126,7 @@ def avgpool_quantize(x, params: AvgPoolQuantParams):
     product, -1 adjustment for negative inputs, round-half-up 64-bit shift.
     """
     x = jnp.asarray(x, jnp.int32)
-    hi, lo = ia.smul32_wide(x, jnp.int32(params.multiplier))
+    hi, lo = ia.smul32_wide_const(x, params.multiplier)
     hi, lo = ia.sub64_one_where(hi, lo, x < 0)
     hi, lo = ia.add64_scalar(hi, lo, 1 << (params.shift - 1))
     scaled = ia.i32(ia.asr64_lo32(hi, lo, params.shift))

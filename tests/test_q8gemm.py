@@ -1,0 +1,136 @@
+"""q8gemm tests, mirroring the reference microkernel test strategy
+(test/gemm-microkernel-tester.h): random uint8 inputs, an independent int32
+reference accumulator, output scale derived dynamically from the accumulator
+range (so every random case is numerically interesting), and bit-exact
+assertion against the Q31 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qnnpack_tpu.nn import (make_requant_params, pack_gemm_weights, q8gemm,
+                            q8gemm_acc)
+from qnnpack_tpu.kernels import q8gemm_pallas
+from qnnpack_tpu.quant import oracles
+
+RNG = np.random.default_rng(0xBEEF)
+
+
+def reference_acc(a, w, bias, a_zp, w_zp):
+    """Plain numpy int32 accumulator (gemm-microkernel-tester.h:217-224)."""
+    acc = (a.astype(np.int32) - a_zp) @ (w.astype(np.int32) - w_zp).T
+    return acc + bias[None, :]
+
+
+def dynamic_scale(acc):
+    """Derive an interesting requant scale from the accumulator range
+    (gemm-microkernel-tester.h:236-238)."""
+    acc_min, acc_max = int(acc.min()), int(acc.max())
+    spread = max(acc_max - acc_min, 1)
+    scale = np.float32(spread / 255.0)
+    # q31 requires scale < 1.0; fold excess into a harmless clamp-heavy case.
+    if scale >= 1.0:
+        scale = np.float32(0.9999999)
+    if scale < np.float32(2**-32):
+        scale = np.float32(2**-32)
+    zp = int(np.clip(255 - acc_max / float(scale) if scale else 128, 0, 255))
+    return float(scale), zp
+
+
+def make_case(m, n, k, a_zp=121, w_zp=103, seed=None):
+    rng = np.random.default_rng(seed) if seed is not None else RNG
+    a = rng.integers(0, 256, size=(m, k), dtype=np.int64).astype(np.uint8)
+    w = rng.integers(0, 256, size=(n, k), dtype=np.int64).astype(np.uint8)
+    bias = rng.integers(-10000, 10000, size=(n,), dtype=np.int64).astype(np.int32)
+    return a, w, bias
+
+
+SHAPES = [
+    (1, 1, 1), (1, 8, 8), (4, 8, 8), (8, 8, 32), (1, 32, 7),
+    (5, 17, 23), (32, 128, 128), (33, 129, 130), (128, 256, 512),
+    (100, 96, 1000), (256, 64, 64),
+]
+
+
+class TestQ8GemmXLA:
+    @pytest.mark.parametrize("m,n,k", SHAPES)
+    def test_acc_bit_exact(self, m, n, k):
+        a, w, bias = make_case(m, n, k)
+        want = reference_acc(a, w, bias, 121, 103)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        got = np.asarray(q8gemm_acc(jnp.asarray(a), packed))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("m,n,k", SHAPES)
+    @pytest.mark.parametrize("scheme", ["q31", "fp32", "precise", "gemmlowp"])
+    def test_requantized_bit_exact(self, m, n, k, scheme):
+        a, w, bias = make_case(m, n, k)
+        acc = reference_acc(a, w, bias, 121, 103)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params(scheme, scale, zp)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        got = np.asarray(q8gemm(jnp.asarray(a), packed, rp))
+        oracle = {"q31": oracles.oracle_q31, "fp32": oracles.oracle_fp32,
+                  "precise": oracles.oracle_precise,
+                  "gemmlowp": oracles.oracle_gemmlowp}[scheme]
+        np.testing.assert_array_equal(got, oracle(acc, rp))
+
+    @pytest.mark.parametrize("zps", [(0, 0), (255, 255), (0, 255), (128, 128)])
+    def test_zero_point_extremes(self, zps):
+        a_zp, w_zp = zps
+        a, w, bias = make_case(16, 32, 48)
+        acc = reference_acc(a, w, bias, a_zp, w_zp)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params("q31", scale, zp)
+        packed = pack_gemm_weights(w, bias, a_zp, w_zp)
+        got = np.asarray(q8gemm(jnp.asarray(a), packed, rp))
+        np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
+
+    def test_qmin_qmax_saturation(self):
+        a, w, bias = make_case(8, 16, 16)
+        acc = reference_acc(a, w, bias, 121, 103)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params("q31", scale, zp, qmin=50, qmax=150)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        got = np.asarray(q8gemm(jnp.asarray(a), packed, rp))
+        assert got.min() >= 50 and got.max() <= 150
+        np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
+
+    def test_no_bias(self):
+        a, w, _ = make_case(4, 8, 12)
+        packed = pack_gemm_weights(w, None, 121, 103)
+        want = reference_acc(a, w, np.zeros(8, np.int32), 121, 103)
+        np.testing.assert_array_equal(np.asarray(q8gemm_acc(jnp.asarray(a), packed)), want)
+
+
+class TestQ8GemmPallas:
+    """Pallas kernel in interpreter mode (CPU CI); bit-exact vs the same oracle.
+    Real-hardware execution is exercised by bench.py and the verify drive."""
+
+    @pytest.mark.parametrize("m,n,k", [
+        (1, 1, 1), (8, 8, 32), (5, 17, 23), (32, 128, 128), (33, 129, 130),
+        (128, 256, 512), (130, 250, 1000),
+    ])
+    @pytest.mark.parametrize("scheme", ["q31", "fp32"])
+    def test_matches_oracle(self, m, n, k, scheme):
+        a, w, bias = make_case(m, n, k)
+        acc = reference_acc(a, w, bias, 121, 103)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params(scheme, scale, zp)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
+                                       interpret=True))
+        oracle = {"q31": oracles.oracle_q31, "fp32": oracles.oracle_fp32}[scheme]
+        np.testing.assert_array_equal(got, oracle(acc, rp))
+
+    def test_multi_k_tile_accumulation(self):
+        # K streamed over several tiles must accumulate exactly.
+        a, w, bias = make_case(32, 128, 700)
+        acc = reference_acc(a, w, bias, 5, 250)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params("q31", scale, zp)
+        packed = pack_gemm_weights(w, bias, 5, 250)
+        got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
+                                       tile_k=128, interpret=True))
+        np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
