@@ -1,0 +1,230 @@
+"""Quantized convolution family: general, grouped, depthwise, 1x1, transposed.
+
+TPU-native replacement for the reference's q8conv/q8dwconv microkernels and
+the indirection-buffer machinery (src/indirection.c): instead of per-pixel
+pointer tables we pad the input with the (biased) input zero point - so
+padded taps contribute exactly zero to the accumulator, like the reference's
+zero buffer (src/convolution.c:330-339) - and lower to
+`lax.conv_general_dilated` on biased int8, which XLA maps onto the MXU's
+native int8 path.
+
+Zero-point algebra (same identity as the GEMM path, nn/packing.py):
+
+    acc = conv_s8(A', W') - zw' * S_A(pos) + bias'[o]
+
+where A' = A - 128 (za'-padded), W' = W - 128,
+bias'[o] = bias[o] - za' * sum W'[o] + count * za' * zw', and
+S_A(pos) = window sum of A' - computed as a cheap channel-sum +
+`reduce_window`, the fused analogue of the reference's XZP row sums.
+
+Kernel layout: O x Kh x Kw x Icpg (uint8), matching the reference's NHWC
+operator convention (include/qnnpack.h:40-66); grouped kernels stack the
+groups along O.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .dtypes import biased_zero_point, u8_to_biased_i8
+from .requant_dispatch import apply_requant
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["w", "bias_folded"],
+         meta_fields=["kernel_height", "kernel_width", "group_input_channels",
+                      "group_output_channels", "groups", "input_zero_point",
+                      "kernel_zero_point"])
+@dataclasses.dataclass(frozen=True)
+class PackedConvWeights:
+    """Conv weights in HWIO int8 layout with folded bias.
+
+    w:           int8 [Kh, Kw, Icpg, O] biased (value - 128)
+    bias_folded: int32 [O]
+    """
+
+    w: jax.Array
+    bias_folded: jax.Array
+    kernel_height: int
+    kernel_width: int
+    group_input_channels: int
+    group_output_channels: int
+    groups: int
+    input_zero_point: int
+    kernel_zero_point: int
+
+    @property
+    def izp_biased(self) -> int:
+        return biased_zero_point(self.input_zero_point)
+
+    @property
+    def kzp_biased(self) -> int:
+        return biased_zero_point(self.kernel_zero_point)
+
+
+def pack_conv_weights(kernel, bias, input_zero_point: int,
+                      kernel_zero_point: int, groups: int = 1,
+                      transposed: bool = False) -> PackedConvWeights:
+    """Pack conv/deconv weights (pack_q8conv_w / pack_q8deconv_w analogue,
+    pack.h:51-133).
+
+    kernel: uint8 [O, Kh, Kw, Icpg] with O = groups * group_output_channels.
+    For `transposed` (deconvolution), the kernel is spatially flipped so the
+    transposed conv lowers to a regular dilated conv.
+    """
+    kernel = jnp.asarray(kernel, jnp.uint8)
+    o, kh, kw, icpg = kernel.shape
+    assert o % groups == 0, "output channels must divide evenly into groups"
+    ocpg = o // groups
+    if bias is None:
+        bias = jnp.zeros((o,), jnp.int32)
+    bias = jnp.asarray(bias, jnp.int32)
+
+    w = u8_to_biased_i8(kernel)  # [O, Kh, Kw, Icpg]
+    if transposed:
+        w = w[:, ::-1, ::-1, :]
+    # HWIO with groups stacked along O (lax feature_group_count convention).
+    w_hwio = jnp.transpose(w, (1, 2, 3, 0))
+
+    za = biased_zero_point(input_zero_point)
+    zw = biased_zero_point(kernel_zero_point)
+    count = kh * kw * icpg
+    w_sums = jnp.sum(w.astype(jnp.int32), axis=(1, 2, 3))  # [O]
+    bias_folded = bias - jnp.int32(za) * w_sums + jnp.int32(count * za * zw)
+    return PackedConvWeights(
+        w=w_hwio, bias_folded=bias_folded, kernel_height=int(kh),
+        kernel_width=int(kw), group_input_channels=int(icpg),
+        group_output_channels=int(ocpg), groups=int(groups),
+        input_zero_point=int(input_zero_point),
+        kernel_zero_point=int(kernel_zero_point))
+
+
+def _pad_input(a, padding, value: int):
+    """Pad NHWC spatially with a constant (the biased input zero point)."""
+    (pt, pb), (pl_, pr) = padding
+    if pt == pb == pl_ == pr == 0:
+        return a
+    return jnp.pad(a, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                   constant_values=value)
+
+
+def _window_sums(a_pad_i32, packed: PackedConvWeights, strides, dilation,
+                 lhs_dilation=(1, 1)):
+    """Per-group window sums of the (padded, biased) input: S_A [B,Ho,Wo,G]."""
+    b, hp, wp, c = a_pad_i32.shape
+    g = packed.groups
+    ch_sums = jnp.sum(
+        a_pad_i32.reshape(b, hp, wp, g, packed.group_input_channels), axis=-1)
+    return lax.reduce_window(
+        ch_sums, jnp.int32(0), lax.add,
+        window_dimensions=(1, packed.kernel_height, packed.kernel_width, 1),
+        window_strides=(1, strides[0], strides[1], 1),
+        window_dilation=(1, dilation[0], dilation[1], 1),
+        base_dilation=(1, lhs_dilation[0], lhs_dilation[1], 1),
+        padding="VALID")
+
+
+def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
+                 padding=((0, 0), (0, 0)), dilation=(1, 1),
+                 lhs_dilation=(1, 1)):
+    """int32 conv accumulator, bit-identical to the reference's
+    sum (a - za)(w - zw) + bias over the window (zero-point padding).
+
+    `lhs_dilation` > 1 realizes transposed convolution (deconv)."""
+    a = u8_to_biased_i8(a_u8)  # NHWC int8
+    a_pad = _pad_input(a, padding, packed.izp_biased)
+
+    acc = lax.conv_general_dilated(
+        a_pad, packed.w,
+        window_strides=strides,
+        padding="VALID",
+        lhs_dilation=lhs_dilation,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=packed.groups,
+        preferred_element_type=jnp.int32,
+    )
+
+    zw = packed.kzp_biased
+    if zw != 0:
+        s_a = _window_sums(a_pad.astype(jnp.int32), packed, strides, dilation,
+                           lhs_dilation)
+        s_a = jnp.repeat(s_a, packed.group_output_channels, axis=-1)
+        acc = acc - jnp.int32(zw) * s_a
+    return acc + packed.bias_folded[None, None, None, :]
+
+
+def q8conv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
+             padding=((0, 0), (0, 0)), dilation=(1, 1)):
+    """Quantized 2D convolution: uint8 NHWC -> uint8 NHWC.
+
+    Covers the reference's gemm (1x1), conv (general), grouped, and dwconv
+    (groups == channels) ukernel types in one XLA lowering - the create-time
+    kernel-type dispatch (convolution.c:180-189) collapses into compiler
+    specialization."""
+    return apply_requant(
+        q8conv2d_acc(a_u8, packed, strides, padding, dilation), rparams)
+
+
+def deconv_output_dims(input_size: int, padding_total: int, adjustment: int,
+                       kernel: int, dilation: int, stride: int) -> int:
+    """Transposed-conv output size (deconvolution.c:26-36)."""
+    effective = (kernel - 1) * dilation + 1
+    return stride * (input_size - 1) + adjustment + effective - padding_total
+
+
+def q8deconv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
+               padding=((0, 0), (0, 0)), adjustment=(0, 0), dilation=(1, 1)):
+    """Quantized transposed convolution (deconvolution.c semantics).
+
+    output[b, sy*iy - pt + dy*dil, sx*ix - pl + dx*dil, o] +=
+        (a[b,iy,ix,i] - za)(w[o,dy,dx,i] - zw)
+
+    Lowered as an lhs-dilated convolution over spatially-flipped weights
+    (flip happens at pack time with transposed=True); no inverse-stride
+    indirection buffer needed (indirection.c:134-190)."""
+    kh, kw = packed.kernel_height, packed.kernel_width
+    dil_h, dil_w = dilation
+    eff_h, eff_w = (kh - 1) * dil_h + 1, (kw - 1) * dil_w + 1
+    (pt, pb), (pl_, pr) = padding
+    ah, aw = adjustment
+    # lhs-dilated conv padding that realizes the transposed-conv geometry.
+    pad_top = eff_h - 1 - pt
+    pad_bottom = eff_h - 1 - pb + ah
+    pad_left = eff_w - 1 - pl_
+    pad_right = eff_w - 1 - pr + aw
+    if min(pad_top, pad_bottom, pad_left, pad_right) < 0:
+        raise ValueError("padding larger than effective kernel is unsupported")
+
+    a = u8_to_biased_i8(a_u8)
+    izp = packed.izp_biased
+    # Dilate the input with the *biased zero point* so inserted taps
+    # contribute zero, then pad and convolve.  lax's lhs_dilation inserts
+    # zeros, which would be wrong for izp != 128, so dilate manually.
+    b, h, w_, c = a.shape
+    sy, sx = strides
+    if (sy, sx) != (1, 1):
+        hd = (h - 1) * sy + 1
+        wd = (w_ - 1) * sx + 1
+        dil = jnp.full((b, hd, wd, c), jnp.int8(izp))
+        dil = dil.at[:, ::sy, ::sx, :].set(a)
+        a = dil
+    a_pad = _pad_input(a, ((pad_top, pad_bottom), (pad_left, pad_right)), izp)
+
+    acc = lax.conv_general_dilated(
+        a_pad, packed.w, window_strides=(1, 1), padding="VALID",
+        rhs_dilation=dilation, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=packed.groups, preferred_element_type=jnp.int32)
+
+    zw = packed.kzp_biased
+    if zw != 0:
+        s_a = _window_sums(a_pad.astype(jnp.int32), packed, (1, 1), dilation)
+        s_a = jnp.repeat(s_a, packed.group_output_channels, axis=-1)
+        acc = acc - jnp.int32(zw) * s_a
+    acc = acc + packed.bias_folded[None, None, None, :]
+    return apply_requant(acc, rparams)

@@ -1,0 +1,86 @@
+"""Quantized elementwise operators: add, clamp, LUT ops, softargmax, shuffle.
+
+TPU-native replacements for the reference's q8vadd / u8clamp / x8lut /
+u8rmax+u8lut32norm / x8zip microkernel families.  LUT construction mirrors
+the reference bit for bit (host-side float32/double math); LUT application
+uses a 256-entry gather, which XLA lowers to a small on-chip table lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..quant.params import AddQuantParams, ClampParams
+from ..quant.requantize import add_quantize, clamp_u8  # noqa: F401  (re-export)
+
+
+def build_sigmoid_lut(input_zero_point: int, input_scale: float,
+                      output_min: int = 0, output_max: int = 255) -> np.ndarray:
+    """256-entry uint8 sigmoid table (sigmoid.c:95-110).
+
+    Requires output scale 1/256 and output zero point 0 (enforced by the
+    operator layer, sigmoid.c:67-79)."""
+    i = np.arange(256, dtype=np.int32)
+    x = np.float32(input_scale) * (i - int(input_zero_point)).astype(np.float32)
+    scaled = np.float32(256.0) / (np.float32(1.0) + np.exp(-x, dtype=np.float32))
+    scaled = np.clip(scaled, np.float32(output_min), np.float32(output_max))
+    return np.rint(scaled).astype(np.uint8)
+
+
+def build_leaky_relu_lut(input_zero_point: int, input_output_scale: float,
+                         negative_slope: float, output_zero_point: int,
+                         output_min: int = 0, output_max: int = 255) -> np.ndarray:
+    """256-entry uint8 leaky-ReLU table (leaky-relu.c:104-117)."""
+    i = np.arange(256, dtype=np.int32)
+    x = np.float32(input_output_scale) * (i - int(input_zero_point)).astype(np.float32)
+    y = np.where(x < 0, x * np.float32(negative_slope), x).astype(np.float32)
+    lo = np.float32(int(output_min) - int(output_zero_point))
+    hi = np.float32(int(output_max) - int(output_zero_point))
+    y = np.clip(y, lo, hi)
+    return (np.rint(y).astype(np.int64) + int(output_zero_point)).astype(np.uint8)
+
+
+def build_softargmax_lut(input_scale: float, channels: int) -> np.ndarray:
+    """256-entry uint32 exp table (softargmax.c:86-91, double math)."""
+    qscale = min(float(np.iinfo(np.uint32).max) / float(channels), 8388607.0)
+    i = np.arange(256, dtype=np.int64)
+    scaled = qscale * np.exp((i - 255).astype(np.float64) * float(input_scale))
+    return np.rint(scaled).astype(np.uint64).astype(np.uint32)
+
+
+def x8lut(x_u8, lut):
+    """Byte-wise table lookup (x8lut ukernel analogue, src/x8lut/scalar.c)."""
+    lut = jnp.asarray(lut, jnp.uint8)
+    return jnp.take(lut, jnp.asarray(x_u8, jnp.uint8).astype(jnp.int32))
+
+
+def u8softargmax(x_u8, lut_u32):
+    """Quantized softmax over the last axis (compute_u8softargmax,
+    operator-run.c:625-637 + u8lut32norm/scalar.c).
+
+    Per row: m = max(x); e[i] = t[x[i] + 255 - m] (numerically-stable offset,
+    the reference's `t + (rmax ^ 255)` table shift); sum = sum e;
+    y[i] = min((e[i] * 256 + sum/2) / sum, 255)."""
+    x = jnp.asarray(x_u8, jnp.uint8).astype(jnp.int32)
+    t = jnp.asarray(lut_u32, jnp.uint32)
+    rmax = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.take(t, x + (255 - rmax))
+    s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.uint32)
+    # C uint32 wrap-around semantics preserved: all ops stay in uint32.
+    q = (e * jnp.uint32(256) + (s >> 1)) // s
+    return jnp.minimum(q, jnp.uint32(255)).astype(jnp.uint8)
+
+
+def x8zip(x_u8, groups: int):
+    """Channel shuffle (x8zip x2/x3/x4/xm analogue, src/x8zip/).
+
+    [..., groups * k] with group-major layout -> interleaved: out channel
+    g + k_idx * groups takes input channel g * k + k_idx  (channel-shuffle
+    operator semantics, src/channel-shuffle.c + operator-run.c:1120-1141)."""
+    x = jnp.asarray(x_u8, jnp.uint8)
+    *lead, c = x.shape
+    assert c % groups == 0, "channels must be divisible by groups"
+    k = c // groups
+    return jnp.swapaxes(x.reshape(*lead, groups, k), -1, -2).reshape(*lead, c)

@@ -1,0 +1,160 @@
+"""Pooling operators: max, average, global average.
+
+Lifecycle/validation parity with src/max-pooling.c, src/average-pooling.c,
+src/global-average-pooling.c."""
+
+from __future__ import annotations
+
+import jax
+
+from ..nn.pool import q8avgpool2d, q8gavgpool, u8maxpool2d
+from ..quant.params import compute_avgpool_quant_params
+from .base import (Operator, check, check_range, check_scale,
+                   check_supported, check_zero_point)
+
+
+class MaxPooling2D(Operator):
+    """qnnp_create_max_pooling2d_nhwc_u8 (include/qnnpack.h:192-218;
+    src/max-pooling.c:36-135)."""
+
+    name = "max_pooling2d"
+
+    def __init__(self, *, pool_size, strides=None, padding=((0, 0), (0, 0)),
+                 dilation=(1, 1), output_min=0, output_max=255):
+        super().__init__()
+        ph, pw = pool_size
+        check(ph * pw > 0, f"failed to create max pooling with {pw}x{ph} "
+              f"pooling size: pooling size dimensions must be non-zero")
+        check(ph * pw > 1, f"failed to create max pooling with 1 pooling "
+              f"element: 1x1 pooling is meaningless (max-pooling.c:72-77)")
+        strides = strides if strides is not None else (ph, pw)
+        check(strides[0] > 0 and strides[1] > 0,
+              "stride dimensions must be non-zero")
+        check(dilation[0] > 0 and dilation[1] > 0,
+              "dilation dimensions must be non-zero")
+        check_range(output_min, output_max)
+        self.pool_size = (int(ph), int(pw))
+        self.strides = tuple(int(s) for s in strides)
+        self.padding = tuple((int(a), int(b)) for a, b in padding)
+        self.dilation = tuple(int(d) for d in dilation)
+        self.output_min = int(output_min)
+        self.output_max = int(output_max)
+
+    def _make_jitted(self):
+        pool, strides = self.pool_size, self.strides
+        padding, dilation = self.padding, self.dilation
+        omin, omax = self.output_min, self.output_max
+
+        @jax.jit
+        def forward(x):
+            y = u8maxpool2d(x, pool, strides, padding, dilation)
+            if (omin, omax) != (0, 255):
+                import jax.numpy as jnp
+                y = jnp.clip(y, jnp.uint8(omin), jnp.uint8(omax))
+            return y
+        return forward
+
+
+class AveragePooling2D(Operator):
+    """qnnp_create_average_pooling2d_nhwc_q8 (include/qnnpack.h:162-190;
+    src/average-pooling.c:34-190)."""
+
+    name = "average_pooling2d"
+
+    def __init__(self, *, pool_size, input_zero_point, input_scale,
+                 output_zero_point, output_scale, strides=None,
+                 padding=((0, 0), (0, 0)), output_min=0, output_max=255):
+        super().__init__()
+        ph, pw = pool_size
+        check(ph * pw > 0, "pooling size dimensions must be non-zero")
+        check(ph * pw > 1, "1x1 average pooling is meaningless")
+        strides = strides if strides is not None else (ph, pw)
+        check(strides[0] > 0 and strides[1] > 0,
+              "stride dimensions must be non-zero")
+        check_scale(input_scale, "input")
+        check_scale(output_scale, "output")
+        check_zero_point(input_zero_point, "input")
+        check_zero_point(output_zero_point, "output")
+        check_range(output_min, output_max)
+        ratio = float(input_scale) / float(output_scale)
+        check_supported(2.0**-8 <= ratio < 2.0**8,
+                        f"failed to create average pooling with {ratio:.7f} "
+                        f"input-to-output scale ratio: ratio must be in "
+                        f"[2**-8, 2**8) range (average-pooling.c:113-120)")
+        pooling_size = ph * pw
+        check_supported(pooling_size < 16777216,
+                        "pooling size must be below 2**24 "
+                        f"(average-pooling.c:122-126), got {pooling_size}")
+        self.pool_size = (int(ph), int(pw))
+        self.strides = tuple(int(s) for s in strides)
+        self.padding = tuple((int(a), int(b)) for a, b in padding)
+        # bias = -izp * pooling_size: the net accumulator of the reference's
+        # zero-buffer + multipass-row algebra (see nn/pool.py).
+        self.qparams = compute_avgpool_quant_params(
+            -int(input_zero_point) * pooling_size,
+            float(input_scale) / (float(output_scale) * pooling_size),
+            output_zero_point, output_min, output_max)
+
+    def _make_jitted(self):
+        pool, strides, padding = self.pool_size, self.strides, self.padding
+        qp = self.qparams
+
+        @jax.jit
+        def forward(x):
+            return q8avgpool2d(x, qp, pool, strides, padding)
+        return forward
+
+
+class GlobalAveragePooling(Operator):
+    """qnnp_create_global_average_pooling_nwc_q8 (include/qnnpack.h:142-160;
+    src/global-average-pooling.c:22-105).  Input [batch, width, channels];
+    the reduction width binds at first call (the reference binds it at
+    setup, global-average-pooling.c:132-141)."""
+
+    name = "global_average_pooling"
+
+    def __init__(self, *, channels, input_zero_point, input_scale,
+                 output_zero_point, output_scale, output_min=0,
+                 output_max=255):
+        super().__init__()
+        check(channels > 0, "number of channels must be non-zero")
+        check_scale(input_scale, "input")
+        check_scale(output_scale, "output")
+        check_zero_point(input_zero_point, "input")
+        check_zero_point(output_zero_point, "output")
+        check_range(output_min, output_max)
+        ratio = float(input_scale) / float(output_scale)
+        check_supported(2.0**-8 <= ratio < 2.0**8,
+                        f"failed to create global average pooling with "
+                        f"{ratio:.7g} input-to-output scale ratio: ratio must "
+                        f"be in [2**-8, 2**8) range "
+                        f"(global-average-pooling.c:63-69)")
+        self.channels = int(channels)
+        self.input_zero_point = int(input_zero_point)
+        self.input_scale = float(input_scale)
+        self.output_zero_point = int(output_zero_point)
+        self.output_scale = float(output_scale)
+        self.output_min = int(output_min)
+        self.output_max = int(output_max)
+        self._width_cache = {}
+
+    def _params_for_width(self, width: int):
+        if width not in self._width_cache:
+            self._width_cache[width] = compute_avgpool_quant_params(
+                -width * self.input_zero_point,
+                self.input_scale / (self.output_scale * width),
+                self.output_zero_point, self.output_min, self.output_max)
+        return self._width_cache[width]
+
+    def __call__(self, x):
+        check(x.shape[-1] == self.channels,
+              f"input has {x.shape[-1]} channels, operator created with "
+              f"{self.channels}")
+        width = x.shape[1]
+        check(width > 0, "width must be non-zero")
+        qp = self._params_for_width(width)
+        return jax.jit(q8gavgpool, static_argnames=("params", "axis"))(
+            x, params=qp, axis=1)
+
+    def _make_jitted(self):  # pragma: no cover - custom __call__
+        raise NotImplementedError

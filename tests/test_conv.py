@@ -1,0 +1,99 @@
+"""Convolution family tests, mirroring test/convolution.cc case coverage:
+1x1, 1x1 grouped, 3x3, strided, dilated, depthwise 3x3/5x5, grouped,
+asymmetric padding, and deconvolution - all bit-exact against numpy int32
+reference loop nests + the Q31 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qnnpack_tpu.nn import (make_requant_params, pack_conv_weights, q8conv2d,
+                            q8conv2d_acc, q8deconv2d)
+from qnnpack_tpu.quant import oracles
+
+import reference_ops as ref
+
+RNG = np.random.default_rng(0xC04F)
+
+
+def make_conv_case(b, h, w, c, o, kh, kw, groups=1, seed=None):
+    rng = np.random.default_rng(seed) if seed is not None else RNG
+    icpg = c // groups
+    a = rng.integers(0, 256, (b, h, w, c), dtype=np.int64).astype(np.uint8)
+    wt = rng.integers(0, 256, (o, kh, kw, icpg), dtype=np.int64).astype(np.uint8)
+    bias = rng.integers(-5000, 5000, (o,), dtype=np.int64).astype(np.int32)
+    return a, wt, bias
+
+
+def scale_for(acc):
+    spread = max(int(acc.max()) - int(acc.min()), 1)
+    return min(float(np.float32(spread / 255.0)), 0.9999999), 128
+
+
+CONV_CASES = [
+    # (b, h, w, c, o, kh, kw, groups, strides, padding, dilation)
+    ("1x1", 2, 7, 9, 16, 24, 1, 1, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
+    ("1x1_grouped", 1, 5, 5, 16, 16, 1, 1, 4, (1, 1), ((0, 0), (0, 0)), (1, 1)),
+    ("3x3", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (1, 1)),
+    ("3x3_nopad", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
+    ("3x3_stride2", 1, 9, 9, 8, 16, 3, 3, 1, (2, 2), ((1, 1), (1, 1)), (1, 1)),
+    ("3x3_dilated", 1, 10, 10, 8, 8, 3, 3, 1, (1, 1), ((2, 2), (2, 2)), (2, 2)),
+    ("asym_pad", 1, 6, 6, 4, 8, 3, 3, 1, (1, 1), ((0, 2), (1, 0)), (1, 1)),
+    ("grouped_3x3", 1, 6, 6, 12, 24, 3, 3, 3, (1, 1), ((1, 1), (1, 1)), (1, 1)),
+    ("dw_3x3", 1, 8, 8, 16, 16, 3, 3, 16, (1, 1), ((1, 1), (1, 1)), (1, 1)),
+    ("dw_3x3_stride2", 1, 9, 9, 16, 16, 3, 3, 16, (2, 2), ((1, 1), (1, 1)), (1, 1)),
+    ("dw_5x5", 1, 8, 8, 8, 8, 5, 5, 8, (1, 1), ((2, 2), (2, 2)), (1, 1)),
+    ("5x5_stride3", 1, 13, 13, 4, 8, 5, 5, 1, (3, 3), ((2, 2), (2, 2)), (1, 1)),
+    ("tall_kernel", 1, 9, 7, 4, 6, 5, 1, 1, (1, 1), ((2, 2), (0, 0)), (1, 1)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,b,h,w,c,o,kh,kw,groups,strides,padding,dilation", CONV_CASES,
+    ids=[c[0] for c in CONV_CASES])
+@pytest.mark.parametrize("zps", [(121, 103), (0, 255), (128, 128)])
+def test_conv2d_bit_exact(name, b, h, w, c, o, kh, kw, groups, strides,
+                          padding, dilation, zps):
+    a_zp, w_zp = zps
+    a, wt, bias = make_conv_case(b, h, w, c, o, kh, kw, groups)
+    want_acc = ref.conv2d_acc(a, wt, bias, a_zp, w_zp, strides, padding,
+                              dilation, groups)
+    packed = pack_conv_weights(wt, bias, a_zp, w_zp, groups)
+    got_acc = np.asarray(q8conv2d_acc(jnp.asarray(a), packed, strides,
+                                      padding, dilation))
+    np.testing.assert_array_equal(got_acc, want_acc)
+
+    scale, zp = scale_for(want_acc)
+    rp = make_requant_params("q31", scale, zp)
+    got = np.asarray(q8conv2d(jnp.asarray(a), packed, rp, strides, padding,
+                              dilation))
+    np.testing.assert_array_equal(got, oracles.oracle_q31(want_acc, rp))
+
+
+DECONV_CASES = [
+    ("2x2_stride2", 1, 4, 4, 8, 8, 2, 2, 1, (2, 2), ((0, 0), (0, 0)), (0, 0), (1, 1)),
+    ("3x3_stride2_pad1", 1, 5, 5, 4, 8, 3, 3, 1, (2, 2), ((1, 1), (1, 1)), (0, 0), (1, 1)),
+    ("3x3_stride2_adj1", 1, 5, 5, 4, 8, 3, 3, 1, (2, 2), ((1, 1), (1, 1)), (1, 1), (1, 1)),
+    ("3x3_stride1", 1, 6, 6, 4, 4, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (0, 0), (1, 1)),
+    ("grouped", 1, 4, 4, 8, 8, 3, 3, 2, (2, 2), ((1, 1), (1, 1)), (1, 1), (1, 1)),
+    ("dilated", 1, 5, 5, 4, 4, 3, 3, 1, (1, 1), ((2, 2), (2, 2)), (0, 0), (2, 2)),
+]
+
+
+@pytest.mark.parametrize(
+    "name,b,h,w,c,o,kh,kw,groups,strides,padding,adj,dilation", DECONV_CASES,
+    ids=[c[0] for c in DECONV_CASES])
+@pytest.mark.parametrize("zps", [(121, 103), (128, 128)])
+def test_deconv2d_bit_exact(name, b, h, w, c, o, kh, kw, groups, strides,
+                            padding, adj, dilation, zps):
+    a_zp, w_zp = zps
+    a, wt, bias = make_conv_case(b, h, w, c, o, kh, kw, groups)
+    want_acc = ref.deconv2d_acc(a, wt, bias, a_zp, w_zp, strides, padding,
+                                adj, dilation, groups)
+    packed = pack_conv_weights(wt, bias, a_zp, w_zp, groups, transposed=True)
+    scale, zp = scale_for(want_acc)
+    rp = make_requant_params("q31", scale, zp)
+    got = np.asarray(q8deconv2d(jnp.asarray(a), packed, rp, strides, padding,
+                                adj, dilation))
+    np.testing.assert_array_equal(got, oracles.oracle_q31(want_acc, rp))
