@@ -26,8 +26,14 @@ def q8gemm_acc(a_u8, packed: PackedGemmWeights):
     """
     a = u8_to_biased_i8(a_u8)  # [M, K] int8
     acc = jnp.dot(a, packed.w, preferred_element_type=jnp.int32)
-    row_sums = jnp.sum(a.astype(jnp.int32), axis=-1, keepdims=True)  # [M, 1]
-    return acc + packed.bias_folded[None, :] - jnp.int32(packed.kzp_biased) * row_sums
+    acc = acc + packed.bias_folded[None, :]
+    if packed.kzp_biased != 0:
+        # Dynamic zero-point term; computed as a rank-1 MXU product rather
+        # than a VPU reduction (A @ ones is cheaper than a widening sum).
+        ones = jnp.ones((a.shape[-1], 1), jnp.int8)
+        row_sums = jnp.dot(a, ones, preferred_element_type=jnp.int32)
+        acc = acc - jnp.int32(packed.kzp_biased) * row_sums
+    return acc
 
 
 def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
