@@ -1,0 +1,124 @@
+"""Int8 BERT-style encoder on the q8gemm path (BASELINE.json stretch config:
+"Quantized BERT-base encoder via int8 fully-connected + softargmax").
+
+Every matmul runs int8 on the MXU:
+  - Q/K/V and output projections + FFN: q8gemm over prepacked weights (the
+    reference's fully-connected path, src/fully-connected.c)
+  - attention scores and context: q8bmm (dynamic activation x activation,
+    the biased-int8 extension of the same zero-point algebra)
+  - attention softmax: the reference's softargmax machinery - u8rmax +
+    uint32 exp-LUT normalize (src/softargmax.c, u8lut32norm)
+  - residuals: quantized add (src/add.c)
+
+The 1/sqrt(dh) score scaling folds into the score requantization scale.
+LayerNorm is outside the reference's operator vocabulary (its op set has no
+normalization; README.md:9-26) and is intentionally omitted - activations
+re-enter a fixed quantization window at every requantization instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..nn.elementwise import build_softargmax_lut, u8softargmax
+from ..nn.gemm import q8bmm, q8gemm
+from ..nn.packing import pack_gemm_weights
+from ..nn.requant_dispatch import make_requant_params
+from ..quant.params import compute_add_quant_params
+from ..quant.requantize import add_quantize
+
+ACT_SCALE = 0.05
+ACT_ZP = 128
+KERNEL_SCALE = 0.02
+KERNEL_ZP = 128
+
+
+@dataclasses.dataclass
+class BertConfig:
+    hidden: int = 768
+    heads: int = 12
+    ffn: int = 3072
+    seq_len: int = 128
+    layers: int = 12
+    requant: str = "fp32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+def build_bert_encoder(rng: np.random.Generator, cfg: BertConfig | None = None):
+    """(params, spec): synthetic-weights int8 encoder stack."""
+    cfg = cfg or BertConfig()
+    h, f = cfg.hidden, cfg.ffn
+
+    def fc_weights(cin, cout):
+        k = rng.integers(0, 256, (cout, cin), dtype=np.int64).astype(np.uint8)
+        b = rng.integers(-8000, 8000, (cout,), dtype=np.int64).astype(np.int32)
+        return pack_gemm_weights(k, b, ACT_ZP, KERNEL_ZP)
+
+    params = []
+    for _ in range(cfg.layers):
+        params.append({
+            "qkv": fc_weights(h, 3 * h),
+            "out": fc_weights(h, h),
+            "ffn1": fc_weights(h, f),
+            "ffn2": fc_weights(f, h),
+        })
+
+    proj_scale = ACT_SCALE * KERNEL_SCALE / ACT_SCALE
+    spec = {
+        "cfg": cfg,
+        "rp_proj": make_requant_params(cfg.requant, proj_scale, ACT_ZP),
+        "rp_relu": make_requant_params(
+            cfg.requant, proj_scale, ACT_ZP, ACT_ZP, 255),
+        # scores: (a-za)(b-zb) spans +-K*127^2; fold 1/sqrt(dh) and the
+        # activation scale into one requant scale targeting the LUT window.
+        "rp_scores": make_requant_params(
+            cfg.requant,
+            float(np.float32(ACT_SCALE * ACT_SCALE
+                             / math.sqrt(cfg.head_dim) / ACT_SCALE)),
+            ACT_ZP),
+        "rp_ctx": make_requant_params(
+            cfg.requant, float(np.float32((1.0 / 256.0) * ACT_SCALE
+                                          / ACT_SCALE)), ACT_ZP),
+        "add": compute_add_quant_params(ACT_ZP, ACT_ZP, ACT_ZP, 1.0, 1.0),
+        "softargmax_lut": jnp.asarray(
+            build_softargmax_lut(ACT_SCALE, cfg.seq_len)),
+    }
+    return params, spec
+
+
+def bert_encoder_forward(params, spec, x_u8):
+    """uint8 [B, S, H] -> uint8 [B, S, H]."""
+    cfg: BertConfig = spec["cfg"]
+    b, s, h = x_u8.shape
+    nh, dh = cfg.heads, cfg.head_dim
+    x = x_u8
+    for layer in params:
+        resid = x
+        x2d = x.reshape(b * s, h)
+        qkv = q8gemm(x2d, layer["qkv"], spec["rp_proj"])
+        qkv = qkv.reshape(b, s, 3, nh, dh)
+        q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [B, nh, S, dh]
+        k = jnp.transpose(qkv[:, :, 1], (0, 2, 3, 1))  # [B, nh, dh, S]
+        v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))  # [B, nh, S, dh]
+
+        scores = q8bmm(q, k, ACT_ZP, ACT_ZP, spec["rp_scores"])  # [B,nh,S,S]
+        probs = u8softargmax(scores, spec["softargmax_lut"])     # scale 1/256
+        ctx = q8bmm(probs, v, 0, ACT_ZP, spec["rp_ctx"])         # [B,nh,S,dh]
+        ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b * s, h)
+
+        attn = q8gemm(ctx, layer["out"], spec["rp_proj"]).reshape(b, s, h)
+        x = add_quantize(attn, resid, spec["add"])
+
+        resid2 = x
+        y = q8gemm(x.reshape(b * s, h), layer["ffn1"], spec["rp_relu"])
+        y = q8gemm(y, layer["ffn2"], spec["rp_proj"]).reshape(b, s, h)
+        x = add_quantize(y, resid2, spec["add"])
+    return x

@@ -39,3 +39,35 @@ def q8gemm_acc(a_u8, packed: PackedGemmWeights):
 def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
     """Full quantized GEMM: uint8 [M, K] -> uint8 [M, N]."""
     return apply_requant(q8gemm_acc(a_u8, packed), rparams)
+
+
+def q8bmm_acc(a_u8, b_u8, a_zero_point: int, b_zero_point: int):
+    """Dynamic quantized matmul accumulator: both operands are activations.
+
+    [..., M, K] x [..., K, N] -> int32 [..., M, N], computing exactly
+    sum_k (a - za)(b - zb).  The reference has no activation x activation
+    operator (its GEMM B side is always prepacked weights); this extends the
+    same biased-int8 zero-point algebra to both sides, which is what an int8
+    attention score/context matmul needs (BASELINE.json BERT config)."""
+    from .dtypes import biased_zero_point
+    a = u8_to_biased_i8(a_u8)
+    b = u8_to_biased_i8(b_u8)
+    za = biased_zero_point(a_zero_point)
+    zb = biased_zero_point(b_zero_point)
+    k = a.shape[-1]
+    acc = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+    if zb != 0:
+        row_sums = jnp.sum(a.astype(jnp.int32), axis=-1, keepdims=True)
+        acc = acc - jnp.int32(zb) * row_sums
+    if za != 0:
+        col_sums = jnp.sum(b.astype(jnp.int32), axis=-2, keepdims=True)
+        acc = acc - jnp.int32(za) * col_sums
+    if za != 0 and zb != 0:
+        acc = acc + jnp.int32(k * za * zb)
+    return acc
+
+
+def q8bmm(a_u8, b_u8, a_zero_point: int, b_zero_point: int, rparams):
+    """Dynamic quantized batched matmul: uint8 x uint8 -> uint8."""
+    return apply_requant(
+        q8bmm_acc(a_u8, b_u8, a_zero_point, b_zero_point), rparams)
