@@ -1,0 +1,86 @@
+"""Runtime configuration and hardware-keyed tuning tables.
+
+The TPU analogue of the reference's cpuinfo-driven dispatch (src/init.c:47-242
+probes the CPU microarchitecture and fills per-uarch tile parameters and
+thresholds, e.g. the XZP kthreshold table at init.c:69-84).  Here the probe is
+`jax.devices()[0].device_kind` and the table keys TPU generations to MXU tile
+shapes and kernel-choice thresholds; selection happens at trace time and is
+baked into the jitted program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import jax
+
+from .utils.logging import log_info
+
+
+@dataclasses.dataclass(frozen=True)
+class TuneParams:
+    """Per-generation kernel tuning (the qnnp_params analogue,
+    src/qnnpack/params.h:520-538)."""
+
+    generation: str
+    # Pallas q8gemm tile shapes (the mr/nr/kr analogue).
+    gemm_tile_m: int = 128
+    gemm_tile_n: int = 128
+    gemm_tile_k: int = 512
+    # Minimum M*N*K before the Pallas kernel beats the XLA lowering;
+    # below it, plain XLA is used (the gemm-vs-xzp-style threshold,
+    # init.c:69-84 analogue).
+    pallas_gemm_threshold: int = 1 << 62  # XLA default until tuned past it
+    # int8 native peak for roofline reporting (TOPS).
+    int8_peak_tops: float = 394.0
+
+
+_TUNE_TABLE = {
+    # device_kind (prefix match, lowercase) -> params
+    "tpu v5 lite": TuneParams("v5e", int8_peak_tops=394.0),
+    "tpu v5e": TuneParams("v5e", int8_peak_tops=394.0),
+    "tpu v5": TuneParams("v5p", int8_peak_tops=918.0),
+    "tpu v6": TuneParams("v6e", gemm_tile_k=1024, int8_peak_tops=1836.0),
+    "cpu": TuneParams("cpu", gemm_tile_m=32, gemm_tile_k=128,
+                      int8_peak_tops=0.0),
+}
+
+
+@functools.cache
+def tune_params() -> TuneParams:
+    """Probe the first device and return its tuning record."""
+    kind = jax.devices()[0].device_kind.lower()
+    for prefix, params in _TUNE_TABLE.items():
+        if kind.startswith(prefix):
+            log_info("tuning for device kind %r -> %s", kind, params.generation)
+            return params
+    log_info("unknown device kind %r; using generic parameters", kind)
+    return TuneParams("generic")
+
+
+@dataclasses.dataclass
+class Config:
+    """Global framework configuration (the per-op `flags` + build-option
+    analogue, include/qnnpack.h:64 / CMakeLists.txt:15-19)."""
+
+    default_requant: str = os.environ.get("QNNPACK_TPU_REQUANT", "fp32")
+    enable_pallas: bool = os.environ.get("QNNPACK_TPU_PALLAS", "0") == "1"
+    compilation_cache_dir: str | None = os.environ.get(
+        "QNNPACK_TPU_CACHE_DIR", None)
+
+
+config = Config()
+
+
+def initialize():
+    """qnnp_initialize analogue (include/qnnpack.h:34; src/init.c:244-258):
+    idempotent one-time setup - probes the device, optionally enables the
+    persistent compilation cache.  Unlike the reference there is no global
+    dispatch-table fill; kernel choice happens at trace time via
+    tune_params()."""
+    if config.compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          config.compilation_cache_dir)
+    return tune_params()
