@@ -1,5 +1,20 @@
-"""Mesh/collectives scaling layer (SURVEY.md sections 2.2, 5.8)."""
+"""Mesh/collectives scaling layer (SURVEY.md sections 2.2, 5.8).
 
+Parallelism axes provided (the reference's only axis is intra-op CPU
+threading via pthreadpool; everything here is new TPU capability):
+
+  DP  mesh.py      batch sharding over the "data" axis
+  TP  mesh.py      output-channel-sharded weights, psum before requant
+  SP  halo.py      spatial H sharding with ppermute halo exchange
+                   (the sequence/context-parallel analogue)
+  PP  pipeline.py  stage-partitioned microbatch pipeline over ppermute
+  EP  expert.py    grouped-conv group sharding (the expert-parallel
+                   analogue; collective-free)
+"""
+
+from .expert import grouped_conv2d_ep  # noqa: F401
+from .halo import spatial_conv2d  # noqa: F401
 from .mesh import (  # noqa: F401
     batch_sharding, make_mesh, shard_params, sharded_inference_fn,
 )
+from .pipeline import pipeline_apply, stack_stage_params  # noqa: F401

@@ -1,0 +1,158 @@
+"""Pallas kernel-layer tests (interpret mode on CPU).
+
+Mirror of the reference's microkernel test tier (SURVEY.md section 4 tier 1):
+each Pallas kernel is asserted bit-exact against the tested XLA functional
+path (which in turn is bit-exact vs. the scalar oracles), across shape
+sweeps covering sub-tile edges, strides, dilation, padding, and channel
+counts that don't divide the lane width.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qnnpack_tpu.kernels import (q8avgpool_pallas, q8conv_pallas,
+                                 q8dwconv_pallas, q8gavgpool_pallas,
+                                 q8vadd_pallas, u8clamp_pallas,
+                                 u8maxpool_pallas, u8rmax_pallas)
+from qnnpack_tpu.nn import pool as nnpool
+from qnnpack_tpu.nn.conv import pack_conv_weights, q8conv2d
+from qnnpack_tpu.nn.requant_dispatch import make_requant_params
+from qnnpack_tpu.quant.params import (ClampParams, compute_add_quant_params,
+                                      compute_avgpool_quant_params)
+from qnnpack_tpu.quant.requantize import add_quantize, clamp_u8
+
+RNG = np.random.default_rng(0xC0DE)
+
+DW_CASES = [
+    # h, w, c, kh, kw, stride, dilation, pad
+    (13, 11, 24, 3, 3, 1, 1, 1),
+    (14, 14, 32, 3, 3, 2, 1, 1),
+    (9, 9, 8, 5, 5, 1, 1, 2),
+    (12, 10, 16, 3, 3, 2, 2, 2),
+    (7, 7, 160, 3, 3, 1, 1, 1),     # channels > one lane tile
+    (5, 5, 3, 1, 1, 1, 1, 0),       # degenerate 1x1 window
+]
+
+
+@pytest.mark.parametrize("scheme", ["q31", "fp32"])
+@pytest.mark.parametrize("case", DW_CASES, ids=[str(c) for c in DW_CASES])
+def test_q8dwconv_bit_exact(case, scheme):
+    h, w, c, kh, kw, s, d, pad = case
+    a = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    k = RNG.integers(0, 256, (c, kh, kw, 1), dtype=np.uint8)
+    bias = RNG.integers(-1000, 1000, (c,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(k, bias, 121, 103, groups=c)
+    rp = make_requant_params(scheme, 0.0037, 117)
+    kw_args = dict(strides=(s, s), padding=((pad, pad), (pad, pad)),
+                   dilation=(d, d))
+    want = q8conv2d(jnp.asarray(a), packed, rp, **kw_args)
+    got = q8dwconv_pallas(jnp.asarray(a), packed, rp, **kw_args,
+                          tile_h=5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+CONV_CASES = [
+    # h, w, c, o, kh, kw, stride, dilation, pad
+    (9, 9, 16, 24, 3, 3, 1, 1, 1),
+    (14, 14, 8, 32, 3, 3, 2, 1, 1),
+    (8, 8, 32, 16, 1, 1, 1, 1, 0),       # 1x1 = the reference "gemm" type
+    (8, 8, 140, 16, 1, 1, 1, 1, 0),      # channels > one lane tile
+    (11, 9, 24, 40, 5, 3, 2, 2, 2),      # asymmetric kernel + dilation
+    (6, 6, 8, 136, 3, 3, 1, 1, 1),       # output channels > tile_o
+]
+
+
+@pytest.mark.parametrize("case", CONV_CASES, ids=[str(c) for c in CONV_CASES])
+def test_q8conv_bit_exact(case):
+    h, w, c, o, kh, kw, s, d, pad = case
+    a = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    k = RNG.integers(0, 256, (o, kh, kw, c), dtype=np.uint8)
+    bias = RNG.integers(-1000, 1000, (o,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(k, bias, 121, 103)
+    rp = make_requant_params("q31", 0.0037, 117)
+    kw_args = dict(strides=(s, s), padding=((pad, pad), (pad, pad)),
+                   dilation=(d, d))
+    want = q8conv2d(jnp.asarray(a), packed, rp, **kw_args)
+    got = q8conv_pallas(jnp.asarray(a), packed, rp, **kw_args,
+                        tile_h=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8conv_zero_kernel_zero_point():
+    """kzp == 128 biases to 0 and skips the row-sum path in-kernel."""
+    a = RNG.integers(0, 256, (1, 7, 7, 16), dtype=np.uint8)
+    k = RNG.integers(0, 256, (8, 3, 3, 16), dtype=np.uint8)
+    packed = pack_conv_weights(k, None, 121, 128)
+    rp = make_requant_params("q31", 0.0037, 117)
+    want = q8conv2d(jnp.asarray(a), packed, rp, padding=((1, 1), (1, 1)))
+    got = q8conv_pallas(jnp.asarray(a), packed, rp,
+                        padding=((1, 1), (1, 1)), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+POOL_CASES = [
+    # h, w, c, k, stride, pad
+    (13, 13, 17, 3, 2, 1),
+    (9, 9, 140, 2, 2, 0),
+    (12, 12, 8, 4, 3, 1),
+]
+
+
+@pytest.mark.parametrize("case", POOL_CASES, ids=[str(c) for c in POOL_CASES])
+def test_u8maxpool_bit_exact(case):
+    h, w, c, k, s, pad = case
+    x = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    want = jnp.clip(
+        nnpool.u8maxpool2d(jnp.asarray(x), (k, k), (s, s),
+                           ((pad, pad), (pad, pad))), 5, 250)
+    got = u8maxpool_pallas(jnp.asarray(x), (k, k), (s, s),
+                           ((pad, pad), (pad, pad)), output_min=5,
+                           output_max=250, tile_h=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("case", POOL_CASES, ids=[str(c) for c in POOL_CASES])
+def test_q8avgpool_bit_exact(case):
+    h, w, c, k, s, pad = case
+    x = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    params = compute_avgpool_quant_params(-121 * k * k, 0.25, 117)
+    want = nnpool.q8avgpool2d(jnp.asarray(x), params, (k, k), (s, s),
+                              ((pad, pad), (pad, pad)))
+    got = q8avgpool_pallas(jnp.asarray(x), params, (k, k), (s, s),
+                           ((pad, pad), (pad, pad)), tile_h=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("s,c", [(49, 137), (7, 8), (100, 256)])
+def test_q8gavgpool_bit_exact(s, c):
+    x = RNG.integers(0, 256, (3, s, c), dtype=np.uint8)
+    params = compute_avgpool_quant_params(-121 * s, 0.25, 117)
+    want = nnpool.q8gavgpool(jnp.asarray(x), params, axis=1)
+    got = q8gavgpool_pallas(jnp.asarray(x), params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8vadd_bit_exact():
+    a = RNG.integers(0, 256, (3, 7, 501), dtype=np.uint8)
+    b = RNG.integers(0, 256, (3, 7, 501), dtype=np.uint8)
+    params = compute_add_quant_params(121, 99, 117, 0.5, 0.75)
+    want = add_quantize(jnp.asarray(a), jnp.asarray(b), params)
+    got = q8vadd_pallas(jnp.asarray(a), jnp.asarray(b), params,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_u8clamp_bit_exact():
+    x = RNG.integers(0, 256, (5, 333), dtype=np.uint8)
+    params = ClampParams(output_min=13, output_max=200)
+    want = clamp_u8(jnp.asarray(x), params)
+    got = u8clamp_pallas(jnp.asarray(x), params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_u8rmax_bit_exact():
+    x = RNG.integers(0, 256, (9, 301), dtype=np.uint8)
+    got = u8rmax_pallas(jnp.asarray(x), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), x.max(axis=1))
