@@ -54,13 +54,13 @@ def time_loop(fn, x, iters):
             return jax.lax.fori_loop(0, n, body, jnp.int32(0))
         return loop
 
-    n1, n2 = max(iters // 5, 1), iters
+    n1, n2 = max(iters // 4, 1), iters
     t = {}
     for n in (n1, n2):
         loop = make(n)
         loop(x).block_until_ready()  # compile + warmup
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             loop(x).block_until_ready()
             best = min(best, time.perf_counter() - t0)
@@ -90,15 +90,16 @@ def bench_q8gemm(m, n, k, iters=50):
 def main():
     details = {}
 
-    ips_b1, lat_b1 = bench_mobilenet(batch=1, iters=100)
+    ips_b1, lat_b1 = bench_mobilenet(batch=1, iters=400)
     details["mobilenet_v2_224_b1_images_per_sec"] = round(ips_b1, 1)
     details["mobilenet_v2_224_b1_latency_ms"] = round(lat_b1 * 1e3, 3)
 
     ips_b128, _ = bench_mobilenet(batch=128, iters=20)
     details["mobilenet_v2_224_b128_images_per_sec"] = round(ips_b128, 1)
 
-    details["q8gemm_4096_gops"] = round(bench_q8gemm(4096, 4096, 4096, 20), 0)
-    details["q8gemm_3136x256x256_gops"] = round(bench_q8gemm(3136, 256, 256, 30), 0)
+    details["q8gemm_4096_gops"] = round(bench_q8gemm(4096, 4096, 4096, 40), 0)
+    details["q8gemm_3136x256x256_gops"] = round(
+        bench_q8gemm(3136, 256, 256, 400), 0)
 
     value = details["mobilenet_v2_224_b1_images_per_sec"]
     if os.path.exists(BASELINE_FILE):

@@ -33,6 +33,16 @@ class TuneParams:
     # below it, plain XLA is used (the gemm-vs-xzp-style threshold,
     # init.c:69-84 analogue).
     pallas_gemm_threshold: int = 1 << 62  # XLA default until tuned past it
+    # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
+    # large spatial sizes and small batch (measured 5-9x slower than the
+    # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins
+    # again at 56x56-and-below or batch >= 48, where its batched
+    # space-to-depth lowering kicks in and the Pallas path's host-side
+    # relayout turns bandwidth-bound).  Route to kernels/q8dwconv.py when
+    # strided AND h*w >= min_pixels AND batch <= max_batch.
+    dwconv_pallas_strided: bool = True
+    dwconv_pallas_min_pixels: int = 8192
+    dwconv_pallas_max_batch: int = 32
     # int8 native peak for roofline reporting (TOPS).
     int8_peak_tops: float = 394.0
 
@@ -44,7 +54,7 @@ _TUNE_TABLE = {
     "tpu v5": TuneParams("v5p", int8_peak_tops=918.0),
     "tpu v6": TuneParams("v6e", gemm_tile_k=1024, int8_peak_tops=1836.0),
     "cpu": TuneParams("cpu", gemm_tile_m=32, gemm_tile_k=128,
-                      int8_peak_tops=0.0),
+                      dwconv_pallas_strided=False, int8_peak_tops=0.0),
 }
 
 

@@ -159,14 +159,42 @@ def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
     return acc + packed.bias_folded[None, None, None, :]
 
 
+def _route_to_pallas_dwconv(packed: PackedConvWeights, strides,
+                            batch: int, in_pixels: int) -> bool:
+    """Measured dispatch rule (the init.c kernel-table analogue): XLA's
+    strided-depthwise lowering is 5-9x off the roofline on TPU at large
+    spatial sizes and small batch, so stride>1 depthwise at >= min_pixels
+    and <= max_batch goes to the phase-plane Pallas kernel; everything else
+    stays on the XLA path, which wins for stride-1, small images, and large
+    batches (thresholds measured in config.TuneParams)."""
+    if packed.groups <= 1 or packed.group_input_channels != 1 or \
+            packed.group_output_channels != 1:
+        return False
+    if max(strides) < 2:
+        return False
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    from ..config import tune_params
+    tp = tune_params()
+    return (tp.dwconv_pallas_strided
+            and in_pixels >= tp.dwconv_pallas_min_pixels
+            and batch <= tp.dwconv_pallas_max_batch)
+
+
 def q8conv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
              padding=((0, 0), (0, 0)), dilation=(1, 1)):
     """Quantized 2D convolution: uint8 NHWC -> uint8 NHWC.
 
     Covers the reference's gemm (1x1), conv (general), grouped, and dwconv
-    (groups == channels) ukernel types in one XLA lowering - the create-time
-    kernel-type dispatch (convolution.c:180-189) collapses into compiler
-    specialization."""
+    (groups == channels) ukernel types - the create-time kernel-type
+    dispatch (convolution.c:180-189) becomes compiler specialization plus
+    one measured routing rule for strided depthwise."""
+    if _route_to_pallas_dwconv(packed, strides, a_u8.shape[0],
+                               a_u8.shape[1] * a_u8.shape[2]):
+        from ..kernels.q8dwconv import q8dwconv_pallas
+        return q8dwconv_pallas(a_u8, packed, rparams, strides=strides,
+                               padding=padding, dilation=dilation)
     return apply_requant(
         q8conv2d_acc(a_u8, packed, strides, padding, dilation), rparams)
 
