@@ -65,22 +65,39 @@ def _graph_model(builder, input_size, **kw):
         rng = np.random.default_rng(0)
         params, spec = builder(rng, **kw)
         fwd = lambda p, v: graph_forward(p, spec, v)  # noqa: E731
-        return params, fwd, (input_size, input_size, 3)
+        return params, fwd, (input_size, input_size, 3), spec
     return make
 
 
 def _mobilenet_v2():
     rng = np.random.default_rng(0)
     params, spec = build_mobilenet_v2(rng, input_size=224, requant="fp32")
-    return params, lambda p, v: mobilenet_v2_forward(p, spec, v), (224, 224, 3)
+    return (params, lambda p, v: mobilenet_v2_forward(p, spec, v),
+            (224, 224, 3), spec)
 
 
 def _bert_base(seq=128):
     rng = np.random.default_rng(0)
-    cfg = BertConfig(num_layers=12, hidden=768, heads=12, intermediate=3072,
-                     seq_len=seq)
-    params = build_bert_encoder(rng, cfg)
-    return params, lambda p, v: bert_encoder_forward(p, cfg, v), (seq, 768)
+    cfg = BertConfig(layers=12, hidden=768, heads=12, ffn=3072, seq_len=seq)
+    params, spec = build_bert_encoder(rng, cfg)
+    return (params, lambda p, v: bert_encoder_forward(p, spec, v),
+            (seq, 768), None)  # token-graph spec: no conv cost model
+
+
+def _roofline_ms(spec, batch, in_shape):
+    """Analytic best-case forward time: max(compute, bandwidth) bound over
+    the summed graph cost (bench/q8gemm.cc:108 GOPS-accounting analogue)."""
+    if spec is None or not hasattr(spec, "raw_weights"):
+        return None
+    from qnnpack_tpu.config import tune_params
+    from qnnpack_tpu.utils.profiling import total_cost
+    tp = tune_params()
+    if tp.int8_peak_tops <= 0 or tp.hbm_gbps <= 0:
+        return None
+    cost = total_cost(spec, (batch,) + in_shape)
+    t_compute = cost.flops / (tp.int8_peak_tops * 1e12)
+    t_memory = cost.bytes_accessed / (tp.hbm_gbps * 1e9)
+    return max(t_compute, t_memory) * 1e3
 
 
 MODELS = {
@@ -110,7 +127,7 @@ def main():
     rows = {}
     for name in names:
         make = MODELS[name]
-        params, fwd, in_shape = make()
+        params, fwd, in_shape, spec = make()
         row = {}
         for batch, iters in ((1, args.iters), (args.batch, max(args.iters // 4, 3))):
             x = jnp.asarray(rng.integers(
@@ -122,11 +139,15 @@ def main():
                 continue
             row[f"b{batch}_ms"] = round(dt * 1e3, 3)
             row[f"b{batch}_ips"] = round(batch / dt, 1)
+            rf = _roofline_ms(spec, batch, in_shape)
+            if rf is not None:
+                row[f"b{batch}_roofline_pct"] = round(100 * rf / (dt * 1e3), 1)
         rows[name] = row
         b1 = row.get("b1_ms", "-")
         bn = row.get(f"b{args.batch}_ips", "-")
-        print(f"{name:24s} b1 {b1} ms   b{args.batch} {bn} img/s",
-              flush=True)
+        rfp = row.get(f"b{args.batch}_roofline_pct", "-")
+        print(f"{name:24s} b1 {b1} ms   b{args.batch} {bn} img/s   "
+              f"roofline {rfp}%", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_MODELS.json")

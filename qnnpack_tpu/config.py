@@ -43,18 +43,22 @@ class TuneParams:
     dwconv_pallas_strided: bool = True
     dwconv_pallas_min_pixels: int = 8192
     dwconv_pallas_max_batch: int = 32
-    # int8 native peak for roofline reporting (TOPS).
+    # int8 native peak (TOPS) and HBM bandwidth (GB/s) for roofline
+    # reporting: roofline time = max(flops/peak, bytes/bandwidth).
     int8_peak_tops: float = 394.0
+    hbm_gbps: float = 819.0
 
 
 _TUNE_TABLE = {
     # device_kind (prefix match, lowercase) -> params
-    "tpu v5 lite": TuneParams("v5e", int8_peak_tops=394.0),
-    "tpu v5e": TuneParams("v5e", int8_peak_tops=394.0),
-    "tpu v5": TuneParams("v5p", int8_peak_tops=918.0),
-    "tpu v6": TuneParams("v6e", gemm_tile_k=1024, int8_peak_tops=1836.0),
+    "tpu v5 lite": TuneParams("v5e", int8_peak_tops=394.0, hbm_gbps=819.0),
+    "tpu v5e": TuneParams("v5e", int8_peak_tops=394.0, hbm_gbps=819.0),
+    "tpu v5": TuneParams("v5p", int8_peak_tops=918.0, hbm_gbps=2765.0),
+    "tpu v6": TuneParams("v6e", gemm_tile_k=1024, int8_peak_tops=1836.0,
+                         hbm_gbps=1638.0),
     "cpu": TuneParams("cpu", gemm_tile_m=32, gemm_tile_k=128,
-                      dwconv_pallas_strided=False, int8_peak_tops=0.0),
+                      dwconv_pallas_strided=False, int8_peak_tops=0.0,
+                      hbm_gbps=0.0),
 }
 
 

@@ -118,7 +118,7 @@ def q8avgpool_pallas(x_u8, params: AvgPoolQuantParams, pool_size,
     (pt, pb), (pl_, pr) = padding
     ho = (h + pt + pb - ph_) // sh + 1
     wo = (w + pl_ + pr - pw_) // sw + 1
-    izp = -params.bias // (ph_ * pw_)
+    izp = params.input_zero_point
 
     ty = min(tile_h, ho)
     a = u8_to_biased_i8(x_u8)

@@ -143,13 +143,15 @@ class GraphBuilder:
     def avgpool(self, name, pool, strides=None, padding=((0, 0), (0, 0))):
         ph, pw = pool
         qp = compute_avgpool_quant_params(
-            -ACT_ZP * ph * pw, 1.0 / (ph * pw), ACT_ZP)
+            -ACT_ZP * ph * pw, 1.0 / (ph * pw), ACT_ZP,
+            input_zero_point=ACT_ZP)
         self._emit("avgpool", name,
                    (qp, pool, strides if strides else pool, padding))
 
     def gap(self, name, spatial):
         qp = compute_avgpool_quant_params(
-            -ACT_ZP * spatial * spatial, 1.0 / (spatial * spatial), ACT_ZP)
+            -ACT_ZP * spatial * spatial, 1.0 / (spatial * spatial), ACT_ZP,
+            input_zero_point=ACT_ZP)
         self._emit("gap", name, qp)
 
     def save(self, slot):
@@ -214,12 +216,9 @@ def graph_forward(params, spec: GraphSpec, x_u8):
             b, h, w, c = x.shape
             x = q8gavgpool(x.reshape(b, h * w, c), payload, axis=1)
         elif tag == "gemm":
-            if x.ndim == 4:
-                b, h, w, c = x.shape
-                x = q8gemm(x.reshape(b * h * w, c), p,
-                           payload.rparams).reshape(b, h, w, -1)
-            else:
-                x = q8gemm(x, p, payload.rparams)
+            # Contract C in place at natural rank (see nn/gemm.q8gemm_acc:
+            # the 2D collapse costs a relayout copy).
+            x = q8gemm(x, p, payload.rparams)
         elif tag == "conv":
             x = q8conv2d(x, p, payload.rparams, payload.strides,
                          payload.padding)
@@ -229,6 +228,16 @@ def graph_forward(params, spec: GraphSpec, x_u8):
                            adjustment)
         elif tag == "flatten":
             x = x.reshape(x.shape[0], -1)
+        elif tag == "pad":
+            # Spatial constant-pad with the tensor's zero point (TFLite PAD
+            # on quantized tensors; the zero-buffer analogue).
+            (pt, pb), (pl_, pr), zp = payload
+            x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                        constant_values=np.uint8(zp))
+        elif tag == "lut":
+            # Per-element byte map (x8lut): QUANTIZE rescales, sigmoid, ...
+            x = jnp.take(jnp.asarray(payload, jnp.uint8),
+                         x.astype(jnp.int32))
         elif tag == "softargmax":
             x = u8softargmax(x, payload)
         else:

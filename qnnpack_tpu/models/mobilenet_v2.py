@@ -105,8 +105,11 @@ def build_mobilenet_v2(rng: np.random.Generator, *, width_mult: float = 1.0,
 
     def add_conv(name, cin, cout, kh, kw, strides, padding, groups=1,
                  relu6=True):
+        # Quantized ReLU6 clamp window: [zp, zp + 6/scale] - real 0 maps to
+        # the zero point, matching models/graph.py's convention.
+        omin = ACT_ZP if relu6 else 0
         omax = _relu6_max(ACT_SCALE, ACT_ZP) if relu6 else 255
-        rp = make_requant_params(requant, conv_scale(), ACT_ZP, 0, omax)
+        rp = make_requant_params(requant, conv_scale(), ACT_ZP, omin, omax)
         k = rand_kernel(cout, kh, kw, cin // groups)
         b = rand_bias(cout)
         raw_weights.append((k, b))
@@ -157,7 +160,8 @@ def build_mobilenet_v2(rng: np.random.Generator, *, width_mult: float = 1.0,
     add_conv("head", cin, head, 1, 1, (1, 1), ((0, 0), (0, 0)))
 
     layers.append(("gap", "gap", compute_avgpool_quant_params(
-        -ACT_ZP * spatial * spatial, 1.0 / (spatial * spatial), ACT_ZP)))
+        -ACT_ZP * spatial * spatial, 1.0 / (spatial * spatial), ACT_ZP,
+        input_zero_point=ACT_ZP)))
     params.append(None)
     raw_weights.append(None)
 
@@ -191,12 +195,9 @@ def mobilenet_v2_forward(params, spec: _ModelSpec, x_u8):
             b, h, w, c = x.shape
             x = q8gavgpool(x.reshape(b, h * w, c), layer, axis=1)
         elif tag == "conv" and layer.kind == "gemm":
-            if x.ndim == 4:
-                b, h, w, c = x.shape
-                y = q8gemm(x.reshape(b * h * w, c), p, layer.rparams)
-                x = y.reshape(b, h, w, -1)
-            else:
-                x = q8gemm(x, p, layer.rparams)
+            # Natural-rank contraction; the 2D collapse costs a relayout
+            # copy (see nn/gemm.q8gemm_acc).
+            x = q8gemm(x, p, layer.rparams)
         elif tag == "conv":
             x = q8conv2d(x, p, layer.rparams, layer.strides, layer.padding)
         else:

@@ -160,7 +160,7 @@ def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
 
 
 def _route_to_pallas_dwconv(packed: PackedConvWeights, strides,
-                            batch: int, in_pixels: int) -> bool:
+                            batch: int, in_pixels: int, rparams) -> bool:
     """Measured dispatch rule (the init.c kernel-table analogue): XLA's
     strided-depthwise lowering is 5-9x off the roofline on TPU at large
     spatial sizes and small batch, so stride>1 depthwise at >= min_pixels
@@ -171,6 +171,11 @@ def _route_to_pallas_dwconv(packed: PackedConvWeights, strides,
             packed.group_output_channels != 1:
         return False
     if max(strides) < 2:
+        return False
+    from ..quant.params import PerChannelFP32Params
+    if isinstance(rparams, PerChannelFP32Params):
+        # The phase-plane kernel tiles channels; per-channel scale slicing
+        # is not plumbed through its BlockSpecs yet - XLA path handles it.
         return False
     import jax
     if jax.default_backend() != "tpu":
@@ -191,7 +196,7 @@ def q8conv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
     dispatch (convolution.c:180-189) becomes compiler specialization plus
     one measured routing rule for strided depthwise."""
     if _route_to_pallas_dwconv(packed, strides, a_u8.shape[0],
-                               a_u8.shape[1] * a_u8.shape[2]):
+                               a_u8.shape[1] * a_u8.shape[2], rparams):
         from ..kernels.q8dwconv import q8dwconv_pallas
         return q8dwconv_pallas(a_u8, packed, rparams, strides=strides,
                                padding=padding, dilation=dilation)

@@ -13,6 +13,7 @@ fused into the matmul's final K step lives in kernels/q8gemm.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from .dtypes import u8_to_biased_i8
 from .packing import PackedGemmWeights
@@ -20,24 +21,35 @@ from .requant_dispatch import apply_requant
 
 
 def q8gemm_acc(a_u8, packed: PackedGemmWeights):
-    """int32 accumulator of the quantized GEMM: [M, K] x [K, N] -> [M, N].
+    """int32 accumulator of the quantized GEMM: [..., K] x [K, N] -> [..., N].
 
     Bit-identical to the reference accumulator sum_k (a - za)(w - zw) + bias.
+
+    Takes the activations at their natural rank and contracts the trailing
+    axis in place: a 1x1 conv stays NHWC and the contraction runs over C.
+    Collapsing (B, H, W, C) -> (BHW, C) first - what the reference's
+    setup does to reuse the GEMM ukernel (fully-connected.c:149-158) -
+    forces an XLA relayout copy of the whole activation tensor, which at
+    MobileNet's small channel counts runs 20-55x slower than the matmul it
+    feeds (measured on v5e, scripts/bench_1x1.py).
     """
-    a = u8_to_biased_i8(a_u8)  # [M, K] int8
-    acc = jnp.dot(a, packed.w, preferred_element_type=jnp.int32)
-    acc = acc + packed.bias_folded[None, :]
+    a = u8_to_biased_i8(a_u8)  # [..., K] int8
+    contract = (((a.ndim - 1,), (0,)), ((), ()))
+    acc = lax.dot_general(a, packed.w, contract,
+                          preferred_element_type=jnp.int32)
+    acc = acc + packed.bias_folded
     if packed.kzp_biased != 0:
         # Dynamic zero-point term; computed as a rank-1 MXU product rather
         # than a VPU reduction (A @ ones is cheaper than a widening sum).
         ones = jnp.ones((a.shape[-1], 1), jnp.int8)
-        row_sums = jnp.dot(a, ones, preferred_element_type=jnp.int32)
+        row_sums = lax.dot_general(a, ones, contract,
+                                   preferred_element_type=jnp.int32)
         acc = acc - jnp.int32(packed.kzp_biased) * row_sums
     return acc
 
 
 def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
-    """Full quantized GEMM: uint8 [M, K] -> uint8 [M, N]."""
+    """Full quantized GEMM: uint8 [..., K] -> uint8 [..., N]."""
     return apply_requant(q8gemm_acc(a_u8, packed), rparams)
 
 

@@ -46,7 +46,7 @@ def q8avgpool2d(x_u8, params: AvgPoolQuantParams, pool_size, strides=None,
     exactly; the accumulator then equals sum (x - izp) over real pixels."""
     ph, pw = pool_size
     sy, sx = strides if strides is not None else (ph, pw)
-    izp = -params.bias // (ph * pw)
+    izp = params.input_zero_point
     x = jnp.asarray(x_u8).astype(jnp.int32)
     (pt, pb), (pl_, pr) = padding
     if pt or pb or pl_ or pr:

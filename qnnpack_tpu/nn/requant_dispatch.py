@@ -40,4 +40,6 @@ def apply_requant(acc, rparams):
         return rq.requantize_precise(acc, rparams)
     if isinstance(rparams, qparams.GemmlowpParams):
         return rq.requantize_gemmlowp(acc, rparams)
+    if isinstance(rparams, qparams.PerChannelFP32Params):
+        return rq.requantize_fp32_per_channel(acc, rparams)
     raise TypeError(f"not a requantization params type: {type(rparams)}")

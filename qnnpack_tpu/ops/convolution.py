@@ -86,9 +86,27 @@ class Convolution2D(Operator):
         self.dilation = tuple(int(d) for d in dilation)
         self.groups = int(groups)
         self.kernel_size = (int(kh), int(kw))
-        self.rparams = make_requant_params(requant, conv_scale,
-                                           output_zero_point, output_min,
-                                           output_max)
+        if per_channel_requant is not None:
+            # Per-output-channel kernel scales (TFLite per-channel /
+            # torch per_channel_affine exports).  `kernel_scale` is ignored;
+            # each channel's conv scale must satisfy the same < 1.0 gate.
+            from ..quant.params import compute_per_channel_fp32_params
+            ch_scales = [float(input_scale) * float(s) / float(output_scale)
+                         for s in per_channel_requant]
+            check(len(ch_scales) == o,
+                  f"per_channel_requant has {len(ch_scales)} scales for "
+                  f"{o} output channels")
+            for s in ch_scales:
+                check_supported(
+                    s < 1.0 and math.isfinite(s),
+                    f"failed to create convolution with {s:.7g} per-channel "
+                    f"convolution scale: scale must be below 1.0")
+            self.rparams = compute_per_channel_fp32_params(
+                ch_scales, output_zero_point, output_min, output_max)
+        else:
+            self.rparams = make_requant_params(requant, conv_scale,
+                                               output_zero_point, output_min,
+                                               output_max)
 
         # ukernel-type analogue (convolution.c:180-189), informational +
         # used to pick the GEMM fast path.
@@ -124,10 +142,11 @@ class Convolution2D(Operator):
     def _make_jitted(self):
         rp = self.rparams
         if self.kernel_type == "gemm":
+            # q8gemm contracts the trailing C axis at the input's natural
+            # rank: no (B,H,W,C)->(BHW,C) collapse (a full-tensor relayout
+            # copy, 20-55x slower than the matmul at MobileNet shapes).
             def forward(x, packed):
-                b, h, w, c = x.shape
-                y = q8gemm(x.reshape(b * h * w, c), packed, rp)
-                return y.reshape(b, h, w, -1)
+                return q8gemm(x, packed, rp)
         else:
             strides, padding, dilation = self.strides, self.padding, self.dilation
 

@@ -4,7 +4,10 @@ Parallelism axes provided (the reference's only axis is intra-op CPU
 threading via pthreadpool; everything here is new TPU capability):
 
   DP  mesh.py      batch sharding over the "data" axis
-  TP  mesh.py      output-channel-sharded weights, psum before requant
+  TP  mesh.py      (a) output-channel weight sharding (collective-free
+                   compute path); (b) K-dim/input-channel sharding with
+                   int32 psum before requantization (gemm_kdim_tp,
+                   conv_ic_tp)
   SP  halo.py      spatial H sharding with ppermute halo exchange
                    (the sequence/context-parallel analogue)
   PP  pipeline.py  stage-partitioned microbatch pipeline over ppermute
@@ -15,6 +18,7 @@ threading via pthreadpool; everything here is new TPU capability):
 from .expert import grouped_conv2d_ep  # noqa: F401
 from .halo import spatial_conv2d  # noqa: F401
 from .mesh import (  # noqa: F401
-    batch_sharding, make_mesh, shard_params, sharded_inference_fn,
+    batch_sharding, conv_ic_tp, gemm_kdim_tp, make_mesh, shard_params,
+    sharded_inference_fn,
 )
 from .pipeline import pipeline_apply, stack_stage_params  # noqa: F401

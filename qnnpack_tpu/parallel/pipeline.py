@@ -52,8 +52,8 @@ def pipeline_apply(stage_fn, stacked_params, x_micro, mesh: Mesh,
         # Mark the carry as device-varying over the pipeline axis up front;
         # the loop body makes it varying anyway (axis_index, ppermute) and
         # shard_map requires carry in/out types to agree.
-        buf = lax.pvary(jnp.zeros_like(x_all[0]), (axis,))
-        outputs = lax.pvary(jnp.zeros_like(x_all), (axis,))
+        buf = lax.pcast(jnp.zeros_like(x_all[0]), (axis,), to="varying")
+        outputs = lax.pcast(jnp.zeros_like(x_all), (axis,), to="varying")
 
         def body(t, carry):
             buf, outputs = carry

@@ -116,6 +116,37 @@ def compute_fp32_params(scale: float, zero_point: int, qmin: int = 0,
 
 
 @dataclasses.dataclass(frozen=True)
+class PerChannelFP32Params:
+    """Per-output-channel fp32 requantization.
+
+    The reference is per-tensor only (one scale per operator,
+    requantization.h:122-198); real quantized exports (TFLite per-channel
+    int8, PyTorch qconfig per_channel_affine) carry one kernel scale per
+    output channel.  Scales are kept as a hashable tuple so the record can be
+    a static jit argument like every other params block; the requantizer
+    broadcasts them over the trailing (channel) axis.
+    """
+
+    scales: tuple  # per-channel float32 scales, length = output channels
+    zero_point: int
+    qmin: int
+    qmax: int
+
+
+def compute_per_channel_fp32_params(scales, zero_point: int, qmin: int = 0,
+                                    qmax: int = 255) -> PerChannelFP32Params:
+    scales = tuple(float(np.float32(s)) for s in np.asarray(scales).ravel())
+    if not scales:
+        raise ValueError("per-channel requantization requires >= 1 scale")
+    for s in scales:
+        if not (s < 256.0 and s >= math.ldexp(1.0, -32)):
+            raise ValueError(
+                f"per-channel requantization requires 2^-32 <= scale < 256, got {s}")
+    return PerChannelFP32Params(scales=scales, zero_point=int(zero_point),
+                                qmin=int(qmin), qmax=int(qmax))
+
+
+@dataclasses.dataclass(frozen=True)
 class GemmlowpParams:
     """gemmlowp-semantics requantization (gemmlowp-scalar.c:19-78)."""
 
@@ -169,7 +200,13 @@ def compute_conv_quant_params(input_zero_point: int, kernel_zero_point: int,
 
 @dataclasses.dataclass(frozen=True)
 class AvgPoolQuantParams:
-    """Average-pooling quantization block (requantization.h:268-303 scalar)."""
+    """Average-pooling quantization block (requantization.h:268-303 scalar).
+
+    `input_zero_point` is carried explicitly so padded-window kernels can
+    fill halo taps with it; the reference reaches the same value through its
+    zero-buffer rows (src/average-pooling.c:166-178) and we previously
+    back-derived it as -bias // pool_size, which silently broke for any
+    caller whose bias was not exactly -izp * pool_size."""
 
     bias: int
     multiplier: int  # in [0x00800000, 0x00FFFFFF]
@@ -177,11 +214,13 @@ class AvgPoolQuantParams:
     output_zero_point: int
     output_min_less_zero_point: int
     output_max_less_zero_point: int
+    input_zero_point: int = 0
 
 
 def compute_avgpool_quant_params(bias: int, scale: float, output_zero_point: int,
                                  output_min: int = 0,
-                                 output_max: int = 255) -> AvgPoolQuantParams:
+                                 output_max: int = 255,
+                                 input_zero_point: int = 0) -> AvgPoolQuantParams:
     scale = float(np.float32(scale))
     if not (scale >= math.ldexp(1.0, -32) and scale < 256.0):
         raise ValueError(f"avgpool requantization requires 2^-32 <= scale < 256, got {scale}")
@@ -196,6 +235,7 @@ def compute_avgpool_quant_params(bias: int, scale: float, output_zero_point: int
         output_zero_point=int(output_zero_point),
         output_min_less_zero_point=int(output_min) - int(output_zero_point),
         output_max_less_zero_point=int(output_max) - int(output_zero_point),
+        input_zero_point=int(input_zero_point),
     )
 
 

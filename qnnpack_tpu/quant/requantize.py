@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from . import int_arith as ia
 from .params import (AddQuantParams, AvgPoolQuantParams, ClampParams,
-                     FP32Params, GemmlowpParams, PreciseParams, Q31Params)
+                     FP32Params, GemmlowpParams, PerChannelFP32Params,
+                     PreciseParams, Q31Params)
 
 
 def _clamp_bias_u8(scaled, smin: int, smax: int, zero_point: int):
@@ -85,6 +86,25 @@ def requantize_fp32(x, params: FP32Params):
     """fp32 requantization: float multiply, round half to even (lrintf)."""
     x = jnp.asarray(x, jnp.int32)
     scaled = x.astype(jnp.float32) * jnp.float32(params.scale)
+    rounded = jnp.rint(scaled)
+    lmin = float(params.qmin - params.zero_point)
+    lmax = float(params.qmax - params.zero_point)
+    clamped = jnp.clip(rounded, lmin, lmax).astype(jnp.int32)
+    return (clamped + jnp.int32(params.zero_point)).astype(jnp.uint8)
+
+
+def requantize_fp32_per_channel(x, params: PerChannelFP32Params):
+    """Per-output-channel fp32 requantization; channels on the last axis.
+
+    Same lrintf numerics as requantize_fp32 with a vector scale - the
+    per-channel extension of fp32-scalar.c:17-65 (the reference itself is
+    per-tensor only)."""
+    x = jnp.asarray(x, jnp.int32)
+    if x.shape[-1] != len(params.scales):
+        raise ValueError(
+            f"last axis {x.shape[-1]} != {len(params.scales)} channel scales")
+    scale = jnp.asarray(params.scales, jnp.float32)
+    scaled = x.astype(jnp.float32) * scale
     rounded = jnp.rint(scaled)
     lmin = float(params.qmin - params.zero_point)
     lmax = float(params.qmax - params.zero_point)

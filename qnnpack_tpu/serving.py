@@ -24,6 +24,7 @@ Components:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -51,7 +52,15 @@ class ServerStats:
     batches: int = 0
     rows_computed: int = 0
     rows_useful: int = 0
-    latencies_ms: list = dataclasses.field(default_factory=list)
+    # Sliding window: percentiles over the most recent max_latency_samples
+    # completions, so a long-lived server's memory stays bounded.
+    max_latency_samples: int = 65536
+    latencies_ms: "collections.deque" = None  # set in __post_init__
+
+    def __post_init__(self):
+        if self.latencies_ms is None:
+            self.latencies_ms = collections.deque(
+                maxlen=self.max_latency_samples)
 
     @property
     def occupancy(self) -> float:

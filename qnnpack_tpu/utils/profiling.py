@@ -60,7 +60,10 @@ def graph_cost(spec, input_shape) -> list[OpCost]:
         elif tag in ("conv", "deconv"):
             cs = payload[0] if tag == "deconv" else payload
             kernel, bias = raw
-            o, kh, kw, icpg = kernel.shape
+            if kernel.ndim == 2:  # FC stored as [O, K] (mobilenet_v2 head)
+                o, kh, kw, icpg = kernel.shape[0], 1, 1, kernel.shape[1]
+            else:
+                o, kh, kw, icpg = kernel.shape
             if tag == "deconv":
                 ho = cs.strides[0] * (h - 1) + kh - sum(cs.padding[0])
                 wo = cs.strides[1] * (w - 1) + kw - sum(cs.padding[1])

@@ -1,16 +1,28 @@
-"""Pallas kernel-layer tests (interpret mode on CPU).
+"""Pallas kernel-layer tests.
 
 Mirror of the reference's microkernel test tier (SURVEY.md section 4 tier 1):
 each Pallas kernel is asserted bit-exact against the tested XLA functional
 path (which in turn is bit-exact vs. the scalar oracles), across shape
 sweeps covering sub-tile edges, strides, dilation, padding, and channel
 counts that don't divide the lane width.
+
+Two execution tiers, the analogue of the reference's per-ISA gates
+(src/qnnpack/isa-checks.h:8-32 + scripts/test-android-*.sh on-device runs):
+  - CPU CI (default): kernels run in interpret mode.
+  - On-hardware:  QNNPACK_TPU_TEST_PLATFORM=tpu python -m pytest \
+        tests/test_kernels_pallas.py tests/test_q8gemm.py -q
+    compiles every kernel with Mosaic and runs it on the real chip
+    (interpret=False), asserting the same bit-exact contracts.
 """
 
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
+
+# Compiled on real hardware; interpreted on the CPU CI platform.
+INTERPRET = jax.default_backend() != "tpu"
 
 from qnnpack_tpu.kernels import (q8avgpool_pallas, q8conv_pallas,
                                  q8dwconv_pallas, q8gavgpool_pallas,
@@ -49,7 +61,7 @@ def test_q8dwconv_bit_exact(case, scheme):
                    dilation=(d, d))
     want = q8conv2d(jnp.asarray(a), packed, rp, **kw_args)
     got = q8dwconv_pallas(jnp.asarray(a), packed, rp, **kw_args,
-                          tile_h=5, interpret=True)
+                          tile_h=5, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -76,7 +88,7 @@ def test_q8conv_bit_exact(case):
                    dilation=(d, d))
     want = q8conv2d(jnp.asarray(a), packed, rp, **kw_args)
     got = q8conv_pallas(jnp.asarray(a), packed, rp, **kw_args,
-                        tile_h=3, interpret=True)
+                        tile_h=3, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -88,7 +100,7 @@ def test_q8conv_zero_kernel_zero_point():
     rp = make_requant_params("q31", 0.0037, 117)
     want = q8conv2d(jnp.asarray(a), packed, rp, padding=((1, 1), (1, 1)))
     got = q8conv_pallas(jnp.asarray(a), packed, rp,
-                        padding=((1, 1), (1, 1)), interpret=True)
+                        padding=((1, 1), (1, 1)), interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -109,7 +121,7 @@ def test_u8maxpool_bit_exact(case):
                            ((pad, pad), (pad, pad))), 5, 250)
     got = u8maxpool_pallas(jnp.asarray(x), (k, k), (s, s),
                            ((pad, pad), (pad, pad)), output_min=5,
-                           output_max=250, tile_h=3, interpret=True)
+                           output_max=250, tile_h=3, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -117,11 +129,12 @@ def test_u8maxpool_bit_exact(case):
 def test_q8avgpool_bit_exact(case):
     h, w, c, k, s, pad = case
     x = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
-    params = compute_avgpool_quant_params(-121 * k * k, 0.25, 117)
+    params = compute_avgpool_quant_params(-121 * k * k, 0.25, 117,
+                                          input_zero_point=121)
     want = nnpool.q8avgpool2d(jnp.asarray(x), params, (k, k), (s, s),
                               ((pad, pad), (pad, pad)))
     got = q8avgpool_pallas(jnp.asarray(x), params, (k, k), (s, s),
-                           ((pad, pad), (pad, pad)), tile_h=3, interpret=True)
+                           ((pad, pad), (pad, pad)), tile_h=3, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -130,7 +143,7 @@ def test_q8gavgpool_bit_exact(s, c):
     x = RNG.integers(0, 256, (3, s, c), dtype=np.uint8)
     params = compute_avgpool_quant_params(-121 * s, 0.25, 117)
     want = nnpool.q8gavgpool(jnp.asarray(x), params, axis=1)
-    got = q8gavgpool_pallas(jnp.asarray(x), params, interpret=True)
+    got = q8gavgpool_pallas(jnp.asarray(x), params, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -140,7 +153,7 @@ def test_q8vadd_bit_exact():
     params = compute_add_quant_params(121, 99, 117, 0.5, 0.75)
     want = add_quantize(jnp.asarray(a), jnp.asarray(b), params)
     got = q8vadd_pallas(jnp.asarray(a), jnp.asarray(b), params,
-                        interpret=True)
+                        interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -148,11 +161,11 @@ def test_u8clamp_bit_exact():
     x = RNG.integers(0, 256, (5, 333), dtype=np.uint8)
     params = ClampParams(output_min=13, output_max=200)
     want = clamp_u8(jnp.asarray(x), params)
-    got = u8clamp_pallas(jnp.asarray(x), params, interpret=True)
+    got = u8clamp_pallas(jnp.asarray(x), params, interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_u8rmax_bit_exact():
     x = RNG.integers(0, 256, (9, 301), dtype=np.uint8)
-    got = u8rmax_pallas(jnp.asarray(x), interpret=True)
+    got = u8rmax_pallas(jnp.asarray(x), interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), x.max(axis=1))

@@ -20,8 +20,10 @@ from qnnpack_tpu.nn.conv import pack_conv_weights, q8conv2d
 from qnnpack_tpu.nn.gemm import q8gemm_acc
 from qnnpack_tpu.nn.packing import pack_gemm_weights
 from qnnpack_tpu.nn.requant_dispatch import apply_requant, make_requant_params
+from qnnpack_tpu.nn.gemm import q8gemm
 from qnnpack_tpu.parallel.expert import grouped_conv2d_ep
 from qnnpack_tpu.parallel.halo import spatial_conv2d
+from qnnpack_tpu.parallel.mesh import conv_ic_tp, gemm_kdim_tp
 from qnnpack_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 
 requires_8_devices = pytest.mark.skipif(
@@ -96,6 +98,61 @@ def test_pipeline_bit_exact(n_stages, n_micro):
     mesh = _mesh_1d(n_stages, axis="pp")
     got = np.asarray(pipeline_apply(stage_fn, stacked, jnp.asarray(x), mesh,
                                     axis="pp"))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize("scheme", ["q31", "fp32"])
+@pytest.mark.parametrize("kzp", [103, 128])  # biased -25 (row-sum path) / 0
+def test_tp_kdim_bit_exact(n_shards, scheme, kzp):
+    """K-sharded GEMM: int32 partials psum'd BEFORE requantization must be
+    bit-identical to the single-device kernel (SURVEY.md 7.4 #5)."""
+    m, n, k = 6, 24, 64
+    a = RNG.integers(0, 256, (m, k), dtype=np.uint8)
+    w = RNG.integers(0, 256, (n, k), dtype=np.uint8)
+    bias = RNG.integers(-500, 500, (n,), dtype=np.int64).astype(np.int32)
+    packed = pack_gemm_weights(w, bias, 121, kzp)
+    rp = make_requant_params(scheme, 0.004, 117)
+
+    want = np.asarray(q8gemm(jnp.asarray(a), packed, rp))
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]).reshape(1, n_shards),
+                ("data", "model"))
+    got = np.asarray(gemm_kdim_tp(jnp.asarray(a), packed, rp, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_8_devices
+def test_tp_kdim_rejects_uneven_k():
+    a = jnp.zeros((2, 30), jnp.uint8)
+    w = RNG.integers(0, 256, (8, 30), dtype=np.uint8)
+    packed = pack_gemm_weights(w, None, 121, 103)
+    rp = make_requant_params("fp32", 0.004, 117)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(1, 4),
+                ("data", "model"))
+    with pytest.raises(ValueError, match="does not divide"):
+        gemm_kdim_tp(a, packed, rp, mesh)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("n_shards", [2, 4])
+@pytest.mark.parametrize("kzp", [103, 128])
+def test_tp_conv_ic_bit_exact(n_shards, kzp):
+    """Input-channel-sharded conv: psum of int32 partials before requant."""
+    c, o = 16, 12
+    x = RNG.integers(0, 256, (2, 9, 9, c), dtype=np.uint8)
+    k = RNG.integers(0, 256, (o, 3, 3, c), dtype=np.uint8)
+    bias = RNG.integers(-500, 500, (o,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(k, bias, 121, kzp)
+    rp = make_requant_params("q31", 0.004, 117)
+    pad = ((1, 1), (1, 1))
+
+    want = np.asarray(q8conv2d(jnp.asarray(x), packed, rp,
+                               strides=(2, 2), padding=pad))
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]).reshape(1, n_shards),
+                ("data", "model"))
+    got = np.asarray(conv_ic_tp(jnp.asarray(x), packed, rp, mesh,
+                                strides=(2, 2), padding=pad))
     np.testing.assert_array_equal(got, want)
 
 

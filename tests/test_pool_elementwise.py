@@ -58,7 +58,8 @@ class TestAvgPool:
         ps = pool[0] * pool[1]
         in_scale, out_scale = 0.7, 0.5
         params = compute_avgpool_quant_params(
-            -izp * ps, in_scale / (out_scale * ps), ozp)
+            -izp * ps, in_scale / (out_scale * ps), ozp,
+            input_zero_point=izp)
         want_acc = ref.avgpool2d_acc(a, izp, pool, strides, padding)
         want = oracles.oracle_avgpool(want_acc, params)
         got = np.asarray(q8avgpool2d(jnp.asarray(a), params, pool, strides,

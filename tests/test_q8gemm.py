@@ -7,7 +7,11 @@ assertion against the Q31 oracle."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
+
+# Compiled on real hardware; interpreted on the CPU CI platform.
+INTERPRET = jax.default_backend() != "tpu"
 
 from qnnpack_tpu.nn import (make_requant_params, pack_gemm_weights, q8gemm,
                             q8gemm_acc)
@@ -105,8 +109,11 @@ class TestQ8GemmXLA:
 
 
 class TestQ8GemmPallas:
-    """Pallas kernel in interpreter mode (CPU CI); bit-exact vs the same oracle.
-    Real-hardware execution is exercised by bench.py and the verify drive."""
+    """Pallas GEMM kernel, bit-exact vs the same oracle.
+
+    Interpreted on the CPU CI platform; compiled with Mosaic and run on the
+    real chip under QNNPACK_TPU_TEST_PLATFORM=tpu (the on-hardware tier,
+    isa-checks.h analogue)."""
 
     @pytest.mark.parametrize("m,n,k", [
         (1, 1, 1), (8, 8, 32), (5, 17, 23), (32, 128, 128), (33, 129, 130),
@@ -120,7 +127,7 @@ class TestQ8GemmPallas:
         rp = make_requant_params(scheme, scale, zp)
         packed = pack_gemm_weights(w, bias, 121, 103)
         got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
-                                       interpret=True))
+                                       interpret=INTERPRET))
         oracle = {"q31": oracles.oracle_q31, "fp32": oracles.oracle_fp32}[scheme]
         np.testing.assert_array_equal(got, oracle(acc, rp))
 
@@ -132,5 +139,5 @@ class TestQ8GemmPallas:
         rp = make_requant_params("q31", scale, zp)
         packed = pack_gemm_weights(w, bias, 5, 250)
         got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
-                                       tile_k=128, interpret=True))
+                                       tile_k=128, interpret=INTERPRET))
         np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
