@@ -13,6 +13,8 @@ threading via pthreadpool; everything here is new TPU capability):
   PP  pipeline.py  stage-partitioned microbatch pipeline over ppermute
   EP  expert.py    grouped-conv group sharding (the expert-parallel
                    analogue; collective-free)
+  MH  multihost.py DCN x ICI hybrid meshes, jax.distributed lifecycle,
+                   per-host input feeding, slice-restart recovery
 """
 
 from .expert import grouped_conv2d_ep  # noqa: F401
@@ -20,5 +22,9 @@ from .halo import spatial_conv2d  # noqa: F401
 from .mesh import (  # noqa: F401
     batch_sharding, conv_ic_tp, gemm_kdim_tp, make_mesh, shard_params,
     sharded_inference_fn,
+)
+from .multihost import (  # noqa: F401
+    SliceRecovery, distributed_init, distributed_shutdown,
+    host_local_batch_to_global, make_hybrid_mesh,
 )
 from .pipeline import pipeline_apply, stack_stage_params  # noqa: F401
