@@ -1,21 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark driver: quantized MobileNetV2 on one TPU chip.
+"""Benchmark driver: quantized MobileNetV2 + q8gemm on one TPU chip.
 
 Reproduces the reference's headline workload (quantized MobileNet v2
 1.0_224, batch 1, warmup + timed iters - README.md:63-85) plus a batched
-variant and a q8gemm microkernel roofline probe (bench/q8gemm.cc analogue).
+variant and q8gemm microkernel rows (bench/q8gemm.cc analogue, GOPS =
+2*M*N*K / iteration time).
+
+Measurement method: qnnpack_tpu.utils.timing.measure_loop - median-of-K
+fixed-N jitted loops with the per-dispatch overhead measured directly and
+subtracted (replaces the round-1/2 two-point slope method, which produced
+negative GOPS at small shapes; see BENCH_NOTES.md).  Every row carries a
+`*_disp` dispersion stat ((max-min)/median over the K samples).
+
+Device capability rows (`cap_*`) measure the SAME-DAY attainable peaks
+(bf16 matmul, int8 dot, HBM copy) so GOPS rows can be read as a fraction of
+what the chip actually delivers at measurement time - this environment's
+chip has been observed to run at about half its nominal rate on some days
+(nominal v5e: 394 int8 TOPS / 197 bf16 TFLOPS / 819 GB/s), which uniformly
+scales every row; `*_pct_cap` is the state-independent signal.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-vs_baseline is the ratio against the round-1 recorded value in
-BENCH_BASELINE.json (created on first run), so later rounds track progress;
-details of all sub-benchmarks ride along in "details".
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., "details": ...}
 """
 
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -30,76 +40,94 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from qnnpack_tpu.models.mobilenet_v2 import (build_mobilenet_v2,  # noqa: E402
                                              mobilenet_v2_forward)
 from qnnpack_tpu.nn import make_requant_params, pack_gemm_weights  # noqa: E402
-from qnnpack_tpu.nn.gemm import q8gemm  # noqa: E402
+from qnnpack_tpu.nn.gemm import gemm_path, q8gemm_routed  # noqa: E402
+from qnnpack_tpu.utils.timing import measure_loop  # noqa: E402
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
-def time_loop(fn, x, iters):
-    """Marginal device time per call via loop-in-jit at two iteration counts.
+def capability_probe(details):
+    """Same-day attainable peaks; see module docstring."""
+    rng = np.random.default_rng(3)
+    d = 4096
+    ab = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
+    wb = jnp.asarray(rng.standard_normal((d, d)), jnp.bfloat16)
+    m = measure_loop(
+        lambda v: jnp.matmul(v, wb, preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16), ab, chain=True)
+    details["cap_bf16_tflops"] = round(2.0 * d**3 / m.seconds / 1e12, 1)
+    details["cap_bf16_disp"] = round(m.dispersion, 3)
 
-    The slope (t(N2) - t(N1)) / (N2 - N1) cancels the fixed per-dispatch
-    overhead (tens of ms through the axon tunnel in this environment) and
-    the full output is summed into the carry so XLA cannot slice-push-down
-    through the matmuls.  Input is varied per iteration to defeat
-    loop-invariant hoisting."""
-    def make(n):
-        @jax.jit
-        def loop(x0):
-            def body(i, s):
-                v = x0 ^ (i & 3).astype(jnp.uint8)
-                y = fn(v)
-                return s + jnp.sum(y, dtype=jnp.int32)
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return loop
+    ai = jnp.asarray(rng.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
+    wi = jnp.asarray(rng.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
 
-    n1, n2 = max(iters // 4, 1), iters
-    t = {}
-    for n in (n1, n2):
-        loop = make(n)
-        loop(x).block_until_ready()  # compile + warmup
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            loop(x).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[n2] - t[n1]) / (n2 - n1)
+    def int8_dot(v):
+        acc = jnp.matmul(v, wi, preferred_element_type=jnp.int32)
+        return (acc >> 8).astype(jnp.int8)  # minimal consumable epilogue
+
+    m = measure_loop(int8_dot, ai, chain=True)
+    int8_tops = 2.0 * d**3 / m.seconds / 1e12
+    details["cap_int8_tops"] = round(int8_tops, 1)
+    details["cap_int8_disp"] = round(m.dispersion, 3)
+
+    x = jnp.asarray(rng.integers(0, 256, (256 * 1024 * 1024,),
+                                 dtype=np.int64).astype(np.uint8))
+    m = measure_loop(lambda v: v + jnp.uint8(1), x, chain=True)
+    hbm_gbps = 2.0 * x.size / m.seconds / 1e9
+    details["cap_hbm_gbps"] = round(hbm_gbps, 0)
+    details["cap_hbm_disp"] = round(m.dispersion, 3)
+    return int8_tops, hbm_gbps
 
 
-def bench_mobilenet(batch, iters):
+def bench_mobilenet(batch):
     rng = np.random.default_rng(0)
     params, spec = build_mobilenet_v2(rng, input_size=224, requant="fp32")
     x = jnp.asarray(rng.integers(0, 256, (batch, 224, 224, 3),
                                  dtype=np.int64).astype(np.uint8))
-    dt = time_loop(lambda v: mobilenet_v2_forward(params, spec, v), x, iters)
-    return batch / dt, dt
+    m = measure_loop(lambda v: mobilenet_v2_forward(params, spec, v), x)
+    return batch / m.seconds, m
 
 
-def bench_q8gemm(m, n, k, iters=50):
+def bench_q8gemm(details, key, m, n, k, kzp, int8_tops, hbm_gbps):
     rng = np.random.default_rng(1)
-    a = jnp.asarray(rng.integers(0, 256, (m, k), dtype=np.int64).astype(np.uint8))
+    a = jnp.asarray(rng.integers(0, 256, (m, k),
+                                 dtype=np.int64).astype(np.uint8))
     w = rng.integers(0, 256, (n, k), dtype=np.int64).astype(np.uint8)
-    packed = pack_gemm_weights(w, None, 121, 103)
+    packed = pack_gemm_weights(w, None, 121, kzp)
     rp = make_requant_params("fp32", 0.003, 128)
-    dt = time_loop(lambda v: q8gemm(v, packed, rp), a, iters)
-    return 2.0 * m * n * k / dt / 1e9
+    meas = measure_loop(lambda v: q8gemm_routed(v, packed, rp), a,
+                        chain=(m == k))
+    gops = 2.0 * m * n * k / meas.seconds / 1e9
+    roofline_s = max(2.0 * m * n * k / (int8_tops * 1e12),
+                     (m * k + k * n + m * n) / (hbm_gbps * 1e9))
+    details[f"{key}_gops"] = round(gops, 0)
+    details[f"{key}_disp"] = round(meas.dispersion, 3)
+    details[f"{key}_pct_cap"] = round(100.0 * roofline_s / meas.seconds, 1)
+    details[f"{key}_path"] = gemm_path((m, k), packed, rp)
 
 
 def main():
     details = {}
+    int8_tops, hbm_gbps = capability_probe(details)
 
-    ips_b1, lat_b1 = bench_mobilenet(batch=1, iters=400)
+    ips_b1, m_b1 = bench_mobilenet(batch=1)
     details["mobilenet_v2_224_b1_images_per_sec"] = round(ips_b1, 1)
-    details["mobilenet_v2_224_b1_latency_ms"] = round(lat_b1 * 1e3, 3)
+    details["mobilenet_v2_224_b1_latency_ms"] = round(m_b1.seconds * 1e3, 3)
+    details["mobilenet_v2_224_b1_disp"] = round(m_b1.dispersion, 3)
 
-    ips_b128, _ = bench_mobilenet(batch=128, iters=20)
+    ips_b128, m_b128 = bench_mobilenet(batch=128)
     details["mobilenet_v2_224_b128_images_per_sec"] = round(ips_b128, 1)
+    details["mobilenet_v2_224_b128_disp"] = round(m_b128.dispersion, 3)
 
-    details["q8gemm_4096_gops"] = round(bench_q8gemm(4096, 4096, 4096, 40), 0)
-    details["q8gemm_3136x256x256_gops"] = round(
-        bench_q8gemm(3136, 256, 256, 400), 0)
+    bench_q8gemm(details, "q8gemm_4096", 4096, 4096, 4096, 103,
+                 int8_tops, hbm_gbps)
+    bench_q8gemm(details, "q8gemm_4096_nozp", 4096, 4096, 4096, 128,
+                 int8_tops, hbm_gbps)
+    bench_q8gemm(details, "q8gemm_3136x256x256", 3136, 256, 256, 103,
+                 int8_tops, hbm_gbps)
 
     value = details["mobilenet_v2_224_b1_images_per_sec"]
     if os.path.exists(BASELINE_FILE):

@@ -26,13 +26,15 @@ class TuneParams:
 
     generation: str
     # Pallas q8gemm tile shapes (the mr/nr/kr analogue).
-    gemm_tile_m: int = 128
-    gemm_tile_n: int = 128
-    gemm_tile_k: int = 512
-    # Minimum M*N*K before the Pallas kernel beats the XLA lowering;
-    # below it, plain XLA is used (the gemm-vs-xzp-style threshold,
-    # init.c:69-84 analogue).
-    pallas_gemm_threshold: int = 1 << 62  # XLA default until tuned past it
+    gemm_tile_m: int = 1024
+    gemm_tile_n: int = 512
+    gemm_tile_k: int = 1024
+    # Minimum M*N*K at which the Pallas GEMM kernel is routed instead of
+    # the XLA lowering (the per-uarch gemm-vs-xzp kthreshold analogue,
+    # init.c:69-84).  None = the Pallas kernel never wins on this
+    # generation and is bench-only (measured; see BENCH_GEMM_PATHS.json).
+    # Consumed by nn.gemm.gemm_path().
+    pallas_gemm_threshold: int | None = None
     # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
     # large spatial sizes and small batch (measured 5-9x slower than the
     # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins
@@ -80,7 +82,14 @@ class Config:
     analogue, include/qnnpack.h:64 / CMakeLists.txt:15-19)."""
 
     default_requant: str = os.environ.get("QNNPACK_TPU_REQUANT", "fp32")
-    enable_pallas: bool = os.environ.get("QNNPACK_TPU_PALLAS", "0") == "1"
+    # GEMM kernel routing (consumed by nn.gemm.gemm_path):
+    #   "auto"   measured threshold rule from TuneParams (default)
+    #   "never"  always the XLA lowering
+    #   "always" always the Pallas kernel where legal (2-D, per-tensor
+    #            requant); interpreted off-TPU so tests can exercise it
+    pallas_mode: str = {"0": "never", "1": "always"}.get(
+        os.environ.get("QNNPACK_TPU_PALLAS", "auto"),
+        os.environ.get("QNNPACK_TPU_PALLAS", "auto"))
     compilation_cache_dir: str | None = os.environ.get(
         "QNNPACK_TPU_CACHE_DIR", None)
 

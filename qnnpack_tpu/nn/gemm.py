@@ -12,6 +12,7 @@ fused into the matmul's final K step lives in kernels/q8gemm.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -51,6 +52,55 @@ def q8gemm_acc(a_u8, packed: PackedGemmWeights):
 def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
     """Full quantized GEMM: uint8 [..., K] -> uint8 [..., N]."""
     return apply_requant(q8gemm_acc(a_u8, packed), rparams)
+
+
+def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
+              backend=None, mode=None, threshold=None) -> str:
+    """Decide "xla" vs "pallas" for a GEMM call - the measured dispatch
+    rule replacing the reference's per-uarch kernel table entry
+    (src/init.c:53-84 picks the q8gemm ukernel and the XZP kthreshold per
+    microarchitecture; here the table is config.TuneParams, filled from the
+    committed BENCH_GEMM_PATHS.json sweep).
+
+    The Pallas kernel is only legal for 2-D activations (rank > 2 runs the
+    natural-rank XLA contraction, which avoids a relayout copy) and
+    per-tensor requantization (per-channel scale slicing is not plumbed
+    through its BlockSpecs).  `mode` (config.pallas_mode) can force either
+    path; "always" is interpreted off-TPU so CI can exercise the route.
+    """
+    from ..config import config, tune_params
+    from ..quant.params import PerChannelFP32Params
+    mode = config.pallas_mode if mode is None else mode
+    if mode not in ("auto", "never", "always"):
+        raise ValueError(f"bad pallas_mode {mode!r}")
+    if len(shape) != 2 or isinstance(rparams, PerChannelFP32Params):
+        return "xla"
+    if mode == "never":
+        return "xla"
+    if mode == "always":
+        return "pallas"
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return "xla"
+    thr = tune_params().pallas_gemm_threshold if threshold is None else threshold
+    if thr is None:
+        return "xla"
+    m = shape[0]
+    return "pallas" if m * packed.n * packed.k >= thr else "xla"
+
+
+def q8gemm_routed(a_u8, packed: PackedGemmWeights, rparams):
+    """Quantized GEMM with measured kernel routing (see gemm_path)."""
+    if gemm_path(a_u8.shape, packed, rparams) == "pallas":
+        from ..config import tune_params
+        from ..kernels.q8gemm import q8gemm_pallas
+        tp = tune_params()
+        return q8gemm_pallas(
+            a_u8, packed, rparams, tile_m=tp.gemm_tile_m,
+            tile_n=tp.gemm_tile_n, tile_k=tp.gemm_tile_k,
+            interpret=jax.default_backend() != "tpu")
+    return q8gemm(a_u8, packed, rparams)
 
 
 def q8bmm_acc(a_u8, b_u8, a_zero_point: int, b_zero_point: int):

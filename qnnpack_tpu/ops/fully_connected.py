@@ -12,7 +12,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..nn.gemm import q8gemm
+from ..nn.gemm import q8gemm, q8gemm_routed
 from ..nn.packing import pack_gemm_weights
 from ..nn.requant_dispatch import make_requant_params
 from .base import (Operator, check, check_range, check_scale,
@@ -25,7 +25,7 @@ class FullyConnected(Operator):
     def __init__(self, *, kernel, bias, input_zero_point, input_scale,
                  kernel_zero_point, kernel_scale, output_zero_point,
                  output_scale, output_min=0, output_max=255, requant="q31",
-                 use_pallas=False):
+                 use_pallas=None):
         super().__init__()
         kernel = jnp.asarray(kernel, jnp.uint8)
         check(kernel.ndim == 2,
@@ -53,12 +53,18 @@ class FullyConnected(Operator):
         self.use_pallas = use_pallas
 
     def _make_jitted(self):
+        """use_pallas=None (default) routes per the measured dispatch rule
+        (nn.gemm.gemm_path); True/False force the Pallas/XLA kernel."""
         rp = self.rparams
-        if self.use_pallas:
+        if self.use_pallas is None:
+            def forward(x, packed):
+                return q8gemm_routed(x, packed, rp)
+        elif self.use_pallas:
             from ..kernels.q8gemm import q8gemm_pallas
 
             def forward(x, packed):
-                return q8gemm_pallas(x, packed, rp)
+                return q8gemm_pallas(x, packed, rp,
+                                     interpret=jax.default_backend() != "tpu")
         else:
             def forward(x, packed):
                 return q8gemm(x, packed, rp)

@@ -1,0 +1,143 @@
+"""Low-noise device-time measurement for benchmarks.
+
+Replaces the round-1/2 two-point slope method, which differenced two noisy
+wall-clock measurements and could return negative marginal time when the
+per-dispatch jitter (tens of ms through the axon tunnel in this
+environment) was comparable to the quantity being measured.  This is the
+GOPS-accounting discipline of the reference's benchmark harness
+(/root/reference/bench/q8gemm.cc:108 counts items actually processed per
+timed iteration) applied to a remote-dispatch setting:
+
+1. The per-call dispatch overhead is measured DIRECTLY, once, with a
+   trivial jitted program (median + spread of 15 calls).
+2. The workload runs inside one jitted ``lax.fori_loop`` of N iterations,
+   so N iterations cost exactly one dispatch.  N is sized so the loop body
+   time is >= max(min_seconds, 50x the observed dispatch spread); N is
+   rounded to a power of two so repeated runs reuse the compilation cache.
+3. Per-iteration time = (median of K loop timings - dispatch median) / N.
+   It is asserted positive, and the relative spread of the K samples is
+   reported alongside every value so downstream consumers (BENCH rows,
+   dispatch thresholds, docstring claims) carry their own error bars.
+
+The loop body XORs the input with (i & 3) to defeat loop-invariant
+hoisting, and consumes the full output either by chaining it into the next
+iteration's input (``chain=True``, zero overhead, requires matching
+shape/dtype) or by an int32 full-reduction into the carry (a full sum
+cannot be slice-pushed through the op, unlike a [0, 0] element probe).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Measurement:
+    seconds: float          # device time per iteration (dispatch removed)
+    dispersion: float       # (max - min) / median over the K loop samples
+    n_iters: int            # loop length used
+    samples: tuple          # raw per-iteration samples (seconds)
+
+    def rate(self, items_per_iter: float) -> float:
+        return items_per_iter / self.seconds
+
+
+@functools.cache
+def dispatch_overhead() -> tuple:
+    """(median, p90-p10 spread) of a trivial jitted call, in seconds."""
+    x = jnp.zeros((8, 128), jnp.uint8)
+    f = jax.jit(lambda v: v + jnp.uint8(1))
+    f(x).block_until_ready()
+    ts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[7], ts[13] - ts[1]
+
+
+def _perturb(x, i):
+    """Vary the input per loop iteration (defeats loop-invariant hoisting)
+    without changing its magnitude distribution: XOR with (i & 3) for
+    integer dtypes, add a tiny multiple of i for floats."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x ^ (i & 3).astype(x.dtype)
+    return x + (i & 3).astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+
+
+def _make_loop(fn, n: int, chain: bool):
+    if chain:
+        @jax.jit
+        def loop(x0):
+            def body(i, v):
+                return fn(_perturb(v, i))
+            return jax.lax.fori_loop(0, n, body, x0)
+    else:
+        @jax.jit
+        def loop(x0):
+            def body(i, s):
+                y = fn(_perturb(x0, i))
+                return s + jnp.sum(y).astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+    return loop
+
+
+def _timed(loop, x) -> float:
+    t0 = time.perf_counter()
+    loop(x).block_until_ready()
+    return time.perf_counter() - t0
+
+
+def measure_loop(fn, x, *, chain: bool = False, min_seconds: float = 0.3,
+                 repeats: int = 5, max_iters: int = 1 << 14,
+                 min_iters: int = 4,
+                 est_seconds: float | None = None) -> Measurement:
+    """Measure per-iteration device time of ``fn(x)``; see module doc.
+
+    ``est_seconds``: optional caller estimate of the per-iteration time,
+    used to size N without compiling a calibration loop (halves the compile
+    cost of large sweeps; a 2x-off estimate only moves the loop length one
+    power of two, which the median still covers)."""
+    t_disp, spread = dispatch_overhead()
+    target = max(min_seconds, 50.0 * spread)
+
+    if est_seconds is not None:
+        est = max(est_seconds, 1e-9)
+        n = 1 << max(math.ceil(math.log2(target / est)), 0)
+        n = max(min(n, max_iters), min_iters)
+        loop = _make_loop(fn, n, chain)
+        loop(x).block_until_ready()  # compile + warmup
+    else:
+        # Calibrate with a short loop to size N.
+        cal = _make_loop(fn, min_iters, chain)
+        cal(x).block_until_ready()  # compile
+        t_cal = min(_timed(cal, x) for _ in range(2))
+        est = max((t_cal - t_disp) / min_iters, 1e-9)
+
+        n = 1 << max(math.ceil(math.log2(target / est)), 0)
+        n = max(min(n, max_iters), min_iters)
+        if n == min_iters and t_cal >= target:
+            # Calibration loop already long enough; reuse its timing setup.
+            loop = cal
+        else:
+            loop = _make_loop(fn, n, chain)
+            loop(x).block_until_ready()  # compile + warmup
+
+    totals = [_timed(loop, x) for _ in range(repeats)]
+    samples = tuple((t - t_disp) / n for t in totals)
+    med = statistics.median(samples)
+    if med <= 0:
+        raise RuntimeError(
+            f"non-positive per-iteration time {med:.3e}s at n={n}; "
+            f"dispatch overhead {t_disp:.3e}s dominates - raise min_seconds")
+    dispersion = (max(samples) - min(samples)) / med
+    return Measurement(seconds=med, dispersion=dispersion, n_iters=n,
+                       samples=samples)
