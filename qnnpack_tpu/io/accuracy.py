@@ -31,3 +31,41 @@ def top1_accuracy(logits, labels) -> float:
     """Top-1 accuracy of logits against integer labels."""
     return float((np.asarray(logits).argmax(-1) ==
                   np.asarray(labels).ravel()).mean())
+
+
+def synth_images(n: int, size: int = 224, seed: int = 17) -> np.ndarray:
+    """Deterministic structured evaluation images in [-1, 1], float32.
+
+    Pure-numpy bilinear upsampling of low-resolution noise plus mild
+    high-frequency detail - smooth, image-like statistics (unlike iid
+    noise, whose activations are atypically narrow).  Used as the fixed
+    input set for top-1 evaluation (ACCURACY.json): this environment has no
+    network access for a real labeled set, so labels are the float model's
+    argmax on these images and both quantized implementations (ours and the
+    TFLite interpreter) are scored against them side by side - measuring
+    exactly the quantization-induced top-1 loss, which is the BASELINE.md
+    "top-1 delta" contract.
+    """
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-1.0, 1.0, (n, 28, 28, 3)).astype(np.float32)
+
+    # Bilinear 28 -> size, fixed half-pixel convention.
+    src = (np.arange(size, dtype=np.float64) + 0.5) * 28.0 / size - 0.5
+    lo = np.clip(np.floor(src).astype(np.int64), 0, 27)
+    hi = np.clip(lo + 1, 0, 27)
+    frac = (src - lo).astype(np.float32)
+
+    up = base[:, lo, :, :] * (1 - frac)[None, :, None, None] \
+        + base[:, hi, :, :] * frac[None, :, None, None]
+    up = up[:, :, lo, :] * (1 - frac)[None, None, :, None] \
+        + up[:, :, hi, :] * frac[None, None, :, None]
+
+    detail = rng.uniform(-0.12, 0.12, up.shape).astype(np.float32)
+    return np.clip(up + detail, -1.0, 1.0)
+
+
+def quantize_input(x_float: np.ndarray, scale: float,
+                   zero_point_i8: int) -> np.ndarray:
+    """Float [-1, 1] images -> int8 per the model's input quantization."""
+    q = np.round(x_float / scale) + zero_point_i8
+    return np.clip(q, -128, 127).astype(np.int8)

@@ -18,8 +18,12 @@ the framework is uint8-centric like the reference):
     vanishes), requantized per channel via PerChannelFP32Params.
 
 Supported ops (the quantized-CNN vocabulary of the reference + QUANTIZE):
-CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, ADD, MEAN (global avg pool),
-AVERAGE_POOL_2D, MAX_POOL_2D, PAD, RESHAPE, SOFTMAX, QUANTIZE.
+CONV_2D, DEPTHWISE_CONV_2D (any depth_multiplier), FULLY_CONNECTED, ADD,
+CONCATENATION (channel axis, with per-input LUT requantization when input
+scales differ), MEAN (global avg pool), AVERAGE_POOL_2D, MAX_POOL_2D, PAD,
+RESHAPE, SOFTMAX, QUANTIZE.  Arbitrary DAG topologies are handled via a
+tensor-indexed value environment (every op output is bound to a slot;
+save/load are trace-time dict operations with zero device cost).
 """
 
 from __future__ import annotations
@@ -108,7 +112,7 @@ _DTYPES = {0: np.float32, 2: np.int32, 3: np.uint8, 4: np.int64,
            7: np.int16, 9: np.int8}
 
 # BuiltinOperator codes used here (schema.fbs)
-BUILTIN = {0: "ADD", 1: "AVERAGE_POOL_2D", 3: "CONV_2D",
+BUILTIN = {0: "ADD", 1: "AVERAGE_POOL_2D", 2: "CONCATENATION", 3: "CONV_2D",
            4: "DEPTHWISE_CONV_2D", 9: "FULLY_CONNECTED", 17: "MAX_POOL_2D",
            22: "RESHAPE", 25: "SOFTMAX", 34: "PAD", 40: "MEAN",
            114: "QUANTIZE", 6: "DEQUANTIZE", 99: "SQUARED_DIFFERENCE",
@@ -288,35 +292,48 @@ def import_tflite(path_or_bytes):
         layers.append((tag, name, payload))
         params.append(packed)
 
-    # Map tensor index -> graph position; the graph IR is a linear chain
-    # with save/load/add, which covers the MobileNet-family topologies.
-    # `current` tracks which tensor the running value holds; residual adds
-    # use save slots keyed by tensor index.
+    # Tensor-indexed value environment: every op output is saved to a slot
+    # named after its tensor index, and each op loads its inputs from slots
+    # as needed.  save/load/concat are trace-time dict operations in
+    # graph_forward - XLA sees only the resulting dataflow, so the emitted
+    # chain is simply a topological walk of the (arbitrary) TFLite DAG;
+    # unconsumed saves are dead-code-eliminated by the compiler.  This
+    # replaces the round-2 linear-chain `current`/`saved` scheme, which
+    # could not express branch topologies like SqueezeNet's fire concats.
     current = m.inputs[0]
-    saved = {}     # tensor index -> slot name
-    consumers = {}
-    for op in m.ops:
-        for ti in op.inputs:
-            consumers[ti] = consumers.get(ti, 0) + 1
+    slot_of = {m.inputs[0]: f"t{m.inputs[0]}"}
+    emit("save", f"save_t{current}", slot_of[current])
 
     def ensure_current(ti, opname):
         nonlocal current
         if ti == current:
             return
-        if ti in saved:
-            emit("load", f"load_{saved[ti]}", saved[ti])
+        if ti in slot_of:
+            emit("load", f"load_{slot_of[ti]}", slot_of[ti])
             current = ti
             return
         raise NotImplementedError(
-            f"{opname}: input tensor {ti} ({T[ti].name}) is neither the "
-            f"running value ({T[current].name}) nor saved")
+            f"{opname}: input tensor {ti} ({T[ti].name}) was not produced "
+            f"by any earlier op (activations must be topologically ordered)")
 
-    def maybe_save(ti):
-        """If tensor ti feeds >1 consumer, stash it for the later branch."""
-        if consumers.get(ti, 0) > 1:
-            slot = f"t{ti}"
-            saved[ti] = slot
-            emit("save", f"save_{slot}", slot)
+    def save_output(ti):
+        slot = f"t{ti}"
+        slot_of[ti] = slot
+        emit("save", f"save_{slot}", slot)
+
+    def rescale_slot(ti, out_t, name):
+        """Requantize a saved tensor into out_t's quantization domain via a
+        256-entry LUT (x8lut semantics), saving to a fresh slot."""
+        in_t = T[ti]
+        i = np.arange(256, dtype=np.float64)
+        real = (i - in_t.zero_point_u8()) * in_t.scale
+        q = np.floor(real / out_t.scale + 0.5) + out_t.zero_point_u8()
+        lut = np.clip(q, 0, 255).astype(np.uint8)
+        emit("load", f"load_{slot_of[ti]}", slot_of[ti])
+        emit("lut", name, lut)
+        slot = f"{slot_of[ti]}_rescaled"
+        emit("save", f"save_{slot}", slot)
+        return slot
 
     for oi, op in enumerate(m.ops):
         name = f"{oi}_{op.opname.lower()}"
@@ -345,12 +362,20 @@ def import_tflite(path_or_bytes):
                 strides = (o.i32(2, 1), o.i32(1, 1))
                 dilation = (o.i32(6, 1), o.i32(5, 1))
                 act_slot = 4
-                mult = o.i32(3, 1)
-                if mult != 1:
-                    raise NotImplementedError("depth_multiplier != 1")
-                # [1, Kh, Kw, C] -> [C, Kh, Kw, 1]
+                # depth_multiplier M: TFLite filter [1, Kh, Kw, C*M] indexes
+                # the output channel as c*M + m, which is exactly the
+                # grouped-conv layout with groups=C, ocpg=M (group g covers
+                # output channels [g*M, (g+1)*M) reading input channel g).
+                # [1, Kh, Kw, C*M] -> [C*M, Kh, Kw, 1]
                 k = np.transpose(_to_u8(w_t.data), (3, 1, 2, 0))
-                groups = k.shape[0]
+                groups = in_t.shape[-1]
+                if k.shape[0] % max(groups, 1) != 0:
+                    raise NotImplementedError(
+                        f"depthwise filter channels {k.shape[0]} not a "
+                        f"multiple of input channels {groups}")
+                if len(w_t.scales) > 1 and w_t.quantized_dimension != 3:
+                    raise NotImplementedError(
+                        "depthwise per-channel dim != 3")
             kh, kw = k.shape[1], k.shape[2]
             in_hw = T[op.inputs[0]].shape[1:3]
             padding = _pad_amounts(o, in_hw, (kh, kw), strides, dilation)
@@ -379,21 +404,47 @@ def import_tflite(path_or_bytes):
         elif op.opname == "ADD":
             a_t, b_t = T[op.inputs[0]], T[op.inputs[1]]
             out_t = T[op.outputs[0]]
-            # One side is the running value, the other a saved residual.
-            if op.inputs[0] == current:
+            # One side runs, the other is read from its slot.
+            if op.inputs[0] == current or op.inputs[1] in slot_of:
                 run_t, res_t, res_i = a_t, b_t, op.inputs[1]
+                ensure_current(op.inputs[0], "ADD")
             else:
-                ensure_current(op.inputs[1], "ADD")
                 run_t, res_t, res_i = b_t, a_t, op.inputs[0]
-            if res_i not in saved:
-                raise NotImplementedError("ADD residual input not saved")
+                ensure_current(op.inputs[1], "ADD")
+            if res_i not in slot_of:
+                raise NotImplementedError("ADD with a constant operand")
             omin, omax = _act_window(op.options, 0, out_t)
             qp = compute_add_quant_params(
                 run_t.zero_point_u8(), res_t.zero_point_u8(),
                 out_t.zero_point_u8(),
                 run_t.scale / out_t.scale, res_t.scale / out_t.scale,
                 omin, omax)
-            emit("add", name, (saved[res_i], qp))
+            emit("add", name, (slot_of[res_i], qp))
+        elif op.opname == "CONCATENATION":
+            out_t = T[op.outputs[0]]
+            # ConcatenationOptions: axis(0), fused_activation_function(1)
+            axis = op.options.i32(0, 0) if op.options is not None else 0
+            rank = len(out_t.shape)
+            if axis not in (-1, rank - 1):
+                raise NotImplementedError(f"CONCAT over axis {axis}")
+            act = op.options.i8(1, 0) if op.options is not None else 0
+            if act != 0:
+                raise NotImplementedError("CONCAT with fused activation")
+            slots = []
+            for ti in op.inputs:
+                if ti not in slot_of:
+                    raise NotImplementedError("CONCAT of a constant input")
+                in_t = T[ti]
+                if (abs(in_t.scale - out_t.scale) < 1e-12 * out_t.scale
+                        and in_t.zero_point_u8() == out_t.zero_point_u8()):
+                    slots.append(slot_of[ti])
+                else:
+                    # Mismatched input quantization: requantize via LUT
+                    # into a fresh slot first (TFLite reference does the
+                    # same per-element rescale inside its concat kernel).
+                    slots.append(rescale_slot(ti, out_t,
+                                              f"{name}_rescale_t{ti}"))
+            emit("concat", name, tuple(slots))
         elif op.opname in ("MEAN",):
             in_t, out_t = T[op.inputs[0]], T[op.outputs[0]]
             axes = tuple(int(v) for v in T[op.inputs[1]].data.ravel())
@@ -472,7 +523,10 @@ def import_tflite(path_or_bytes):
         else:
             raise NotImplementedError(f"TFLite op {op.opname} unsupported")
         current = op.outputs[0]
-        maybe_save(current)
+        save_output(current)
+
+    if current != m.outputs[0]:
+        ensure_current(m.outputs[0], "subgraph output")
 
     in_t, out_t = T[m.inputs[0]], T[m.outputs[0]]
     meta = {

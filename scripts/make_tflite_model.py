@@ -19,9 +19,9 @@ import sys
 import numpy as np
 
 
-def main():
-    import tensorflow as tf
-
+def build_float_model(tf):
+    """Deterministic float MobileNetV2 (seeded init); also the label source
+    for the accuracy evaluation (scripts/accuracy_eval.py)."""
     tf.random.set_seed(7)
     model = tf.keras.applications.MobileNetV2(
         input_shape=(224, 224, 3), alpha=1.0, weights=None,
@@ -57,7 +57,13 @@ def main():
                 else:
                     new.append(rng.normal(0, 0.02, w.shape).astype(np.float32))
             layer.set_weights(new)
+    return model, rng
 
+
+def main():
+    import tensorflow as tf
+
+    model, rng = build_float_model(tf)
     probe = rng.uniform(-1, 1, (2, 224, 224, 3)).astype(np.float32)
     logits = model(probe, training=False).numpy()
     print("float logit std:", float(logits.std()))
