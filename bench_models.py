@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -32,32 +31,31 @@ from qnnpack_tpu.models import (bert_encoder_forward, build_bert_encoder,  # noq
                                 resnet50, shufflenet_v1, shufflenet_v2,
                                 squeezenet_v11, vgg16)
 from qnnpack_tpu.models.bert import BertConfig  # noqa: E402
+from qnnpack_tpu.utils.timing import measure_loop  # noqa: E402
 
 
-def time_loop(fn, x, iters):
-    """Slope-based marginal device time per call (see bench.py)."""
-    def make(n):
-        @jax.jit
-        def loop(x0):
-            def body(i, s):
-                v = x0 ^ (i & 3).astype(jnp.uint8)
-                y = fn(v)
-                return s + jnp.sum(y, dtype=jnp.int32)
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return loop
+def measured_capability():
+    """Same-day delivered peaks (the chip drifts; see BENCH_NOTES.md)."""
+    rng = np.random.default_rng(3)
+    d = 4096
+    ai = jnp.asarray(rng.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
+    wi = jnp.asarray(rng.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
 
-    n1, n2 = max(iters // 5, 1), iters
-    t = {}
-    for n in (n1, n2):
-        loop = make(n)
-        loop(x).block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            loop(x).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[n2] - t[n1]) / (n2 - n1)
+    def int8_dot(v):
+        acc = jnp.matmul(v, wi, preferred_element_type=jnp.int32)
+        return (acc >> 8).astype(jnp.int8)
+
+    m = measure_loop(int8_dot, ai, chain=True, est_seconds=1e-3,
+                     min_seconds=0.2, repeats=3)
+    tops = 2.0 * d**3 / m.seconds / 1e12
+    x = jnp.asarray(rng.integers(0, 256, (128 * 1024 * 1024,),
+                                 dtype=np.int64).astype(np.uint8))
+    m2 = measure_loop(lambda v: v + jnp.uint8(1), x, chain=True,
+                      est_seconds=5e-4, min_seconds=0.2, repeats=3)
+    gbps = 2.0 * x.size / m2.seconds / 1e9
+    return tops, gbps
 
 
 def _graph_model(builder, input_size, **kw):
@@ -84,20 +82,20 @@ def _bert_base(seq=128):
             (seq, 768), None)  # token-graph spec: no conv cost model
 
 
-def _roofline_ms(spec, batch, in_shape):
-    """Analytic best-case forward time: max(compute, bandwidth) bound over
-    the summed graph cost (bench/q8gemm.cc:108 GOPS-accounting analogue)."""
+def _roofline_ms(spec, batch, in_shape, tops, gbps):
+    """Analytic best-case forward time against the MEASURED same-day peaks:
+    max(compute, bandwidth) bound over the summed graph cost
+    (bench/q8gemm.cc:108 GOPS-accounting analogue).  Also returns which
+    bound binds, so the sweep can state per model whether it is compute- or
+    bandwidth-limited."""
     if spec is None or not hasattr(spec, "raw_weights"):
-        return None
-    from qnnpack_tpu.config import tune_params
+        return None, None
     from qnnpack_tpu.utils.profiling import total_cost
-    tp = tune_params()
-    if tp.int8_peak_tops <= 0 or tp.hbm_gbps <= 0:
-        return None
     cost = total_cost(spec, (batch,) + in_shape)
-    t_compute = cost.flops / (tp.int8_peak_tops * 1e12)
-    t_memory = cost.bytes_accessed / (tp.hbm_gbps * 1e9)
-    return max(t_compute, t_memory) * 1e3
+    t_compute = cost.flops / (tops * 1e12)
+    t_memory = cost.bytes_accessed / (gbps * 1e9)
+    bound = "compute" if t_compute >= t_memory else "bandwidth"
+    return max(t_compute, t_memory) * 1e3, bound
 
 
 MODELS = {
@@ -123,36 +121,46 @@ def main():
     args = ap.parse_args()
 
     names = (args.models.split(",") if args.models else list(MODELS))
+    tops, gbps = measured_capability()
+    print(f"capability: int8 {tops:.1f} TOPS, HBM {gbps:.0f} GB/s",
+          flush=True)
     rng = np.random.default_rng(1)
     rows = {}
     for name in names:
         make = MODELS[name]
         params, fwd, in_shape, spec = make()
         row = {}
-        for batch, iters in ((1, args.iters), (args.batch, max(args.iters // 4, 3))):
+        for batch in (1, args.batch):
             x = jnp.asarray(rng.integers(
                 0, 256, (batch,) + in_shape, dtype=np.int64).astype(np.uint8))
             try:
-                dt = time_loop(lambda v: fwd(params, v), x, iters)
+                meas = measure_loop(lambda v: fwd(params, v), x)
             except Exception as exc:  # noqa: BLE001 - record and continue
-                row[f"b{batch}"] = f"error: {type(exc).__name__}"
+                row[f"b{batch}"] = f"error: {type(exc).__name__}: {exc}"[:120]
                 continue
+            dt = meas.seconds
             row[f"b{batch}_ms"] = round(dt * 1e3, 3)
             row[f"b{batch}_ips"] = round(batch / dt, 1)
-            rf = _roofline_ms(spec, batch, in_shape)
+            row[f"b{batch}_disp"] = round(meas.dispersion, 3)
+            rf, bound = _roofline_ms(spec, batch, in_shape, tops, gbps)
             if rf is not None:
                 row[f"b{batch}_roofline_pct"] = round(100 * rf / (dt * 1e3), 1)
+                row[f"b{batch}_bound"] = bound
         rows[name] = row
         b1 = row.get("b1_ms", "-")
         bn = row.get(f"b{args.batch}_ips", "-")
         rfp = row.get(f"b{args.batch}_roofline_pct", "-")
+        bnd = row.get(f"b{args.batch}_bound", "-")
         print(f"{name:24s} b1 {b1} ms   b{args.batch} {bn} img/s   "
-              f"roofline {rfp}%", flush=True)
+              f"roofline {rfp}% ({bnd}-bound)", flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_MODELS.json")
     with open(out, "w") as f:
         json.dump({"device": jax.devices()[0].device_kind,
+                   "date": "2026-08-21",
+                   "cap_int8_tops": round(tops, 1),
+                   "cap_hbm_gbps": round(gbps, 0),
                    "batch": args.batch, "models": rows}, f, indent=1)
     print(json.dumps({"metric": "model_sweep", "models": len(rows),
                       "file": out}))

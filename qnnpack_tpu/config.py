@@ -27,14 +27,22 @@ class TuneParams:
     generation: str
     # Pallas q8gemm tile shapes (the mr/nr/kr analogue).
     gemm_tile_m: int = 1024
-    gemm_tile_n: int = 512
+    gemm_tile_n: int = 1024
     gemm_tile_k: int = 1024
-    # Minimum M*N*K at which the Pallas GEMM kernel is routed instead of
-    # the XLA lowering (the per-uarch gemm-vs-xzp kthreshold analogue,
-    # init.c:69-84).  None = the Pallas kernel never wins on this
-    # generation and is bench-only (measured; see BENCH_GEMM_PATHS.json).
-    # Consumed by nn.gemm.gemm_path().
+    # Pallas-vs-XLA GEMM routing window (the per-uarch gemm-vs-xzp
+    # kthreshold analogue, init.c:69-84), consumed by nn.gemm.gemm_path().
+    # Measured on v5e 2026-08-21 (BENCH_GEMM_CROSSOVER.json + the
+    # confirmation A/B runs recorded in BENCH_GEMM_PATHS.json commit):
+    # the Pallas kernel wins +19..29% at 1024^3 and +3..5% up to ~2*1024^3
+    # aligned shapes, ties/loses at >= 2048^3 (XLA +2.5..4%) and loses
+    # badly wherever tile padding inflates the work (1448^3: 2.8x).
+    # Route to Pallas iff threshold <= M*N*K <= ceiling AND
+    # min(M,N,K) >= min_dim AND tile-padding waste <= max_pad_waste.
+    # threshold None = Pallas retired on this generation (no win window).
     pallas_gemm_threshold: int | None = None
+    pallas_gemm_ceiling: int = 1 << 31
+    pallas_gemm_min_dim: int = 1024
+    pallas_gemm_max_pad_waste: float = 1.05
     # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
     # large spatial sizes and small batch (measured 5-9x slower than the
     # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins
@@ -52,9 +60,18 @@ class TuneParams:
 
 
 _TUNE_TABLE = {
-    # device_kind (prefix match, lowercase) -> params
-    "tpu v5 lite": TuneParams("v5e", int8_peak_tops=394.0, hbm_gbps=819.0),
-    "tpu v5e": TuneParams("v5e", int8_peak_tops=394.0, hbm_gbps=819.0),
+    # device_kind (prefix match, lowercase) -> params.
+    # v5e rows MEASURED on hardware (dwconv rule: r1 measurements in
+    # nn/conv.py; gemm tile + threshold: BENCH_GEMM_CROSSOVER.json /
+    # BENCH_GEMM_PATHS.json, 2026-08-21).  int8_peak/hbm are the NOMINAL
+    # spec sheet values used for roofline reporting only - benches probe
+    # the same-day delivered capability separately (BENCH_NOTES.md).
+    "tpu v5 lite": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                              int8_peak_tops=394.0, hbm_gbps=819.0),
+    "tpu v5e": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                          int8_peak_tops=394.0, hbm_gbps=819.0),
+    # v5p / v6e rows are ESTIMATES (spec-sheet peaks, v5e-tuned thresholds
+    # carried over unmeasured - no such hardware in this environment).
     "tpu v5": TuneParams("v5p", int8_peak_tops=918.0, hbm_gbps=2765.0),
     "tpu v6": TuneParams("v6e", gemm_tile_k=1024, int8_peak_tops=1836.0,
                          hbm_gbps=1638.0),

@@ -12,24 +12,34 @@ rounding + clamp) runs on the VPU in the final K step so the int32
 accumulator never touches HBM - the TPU equivalent of the in-kernel
 requantization the reference does before each store (4x8-neon.c:265-320).
 
-Design points that make this kernel beat the XLA dot_general lowering
-(measured 2026-08-20 on v5e, scripts/bench_gemm_paths.py):
+Design points:
 
 - The activation tensor enters the kernel as raw uint8 and is re-biased to
-  int8 (XOR 0x80, a VPU op) per-tile in VMEM.  Doing the re-bias in XLA
-  before the kernel costs a full serialized HBM round trip of A
-  (read + write = ~40us at 4096^2, ~10% of the whole GEMM).  A is padded
-  with 0x80 (biased zero), so padded entries contribute exactly 0.
+  int8 (XOR 0x80, a VPU op) per-tile in VMEM, so no XLA-side rebias pass
+  over A ever touches HBM.  A is padded with 0x80 (biased zero), so padded
+  entries contribute exactly 0 to both the dot and the row sums.
 - The dynamic zero-point term (kernel_zp x activation row sums, the
   reference's XZP path, operator-run.c:711-768) is accumulated in a
-  [tm, 1] scratch register alongside the matmul: a VPU reduction of the
-  tile that overlaps the MXU work, instead of either a separate row-sum
-  pass over A (round 2 v1) or a per-(m,n) recomputation (round 1).  It is
-  skipped entirely when the packed kernel zero point is 128 (biased 0).
-- Tile shape (1024, 512, 1024) measured best at large shapes: 334 TOPS vs
-  XLA's 224 at 4096^3 with the row-sum path live (vs 394 TOPS roofline).
-  Wide-M tiles halve W traffic; K stays 1024 so A+W panels double-buffer
-  within VMEM.
+  [tm, 1] scratch register during the same K sweep that feeds the int32
+  accumulator: the VPU reduction overlaps the MXU work and costs no extra
+  HBM pass over A.  (It is still redone once per N-tile - the scratch is
+  reset at k==0 of every (i, j) grid cell.)  Skipped entirely when the
+  packed kernel zero point is 128 (biased 0).
+
+Measured dispatch position (committed artifacts BENCH_GEMM_CROSSOVER.json /
+BENCH_GEMM_PATHS.json, v5e 2026-08-21; the chip's delivered rate drifts in
+this environment, so every number below is paired with the same-minute
+int8-dot capability probe):
+
+- At 1024-aligned large shapes with tile (1024, 1024, 1024) this kernel
+  runs at 82-88% of the same-day capability with run-to-run dispersion
+  under 3%: 1024^3 242.8k GOPS (82.2% cap) vs XLA 188.7k (63.9%);
+  4096^3 258.7k (88.5%) vs XLA 233.9k (80.0%, dispersion 0.55).
+- At shapes that pad badly to the tile grid it loses exactly the padding
+  waste (1448^3: 2.83x padded work -> 28.5% cap vs XLA 67.9%) and XLA also
+  wins the skinny MobileNet shapes (3136x256x256: XLA 51.7k vs 38.1k).
+- Hence the gemm_path rule (nn/gemm.py): Pallas iff min(M,N,K) >= 1024 and
+  tile-padding waste <= 5%; XLA otherwise.
 """
 
 from __future__ import annotations

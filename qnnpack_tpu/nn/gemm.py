@@ -54,19 +54,36 @@ def q8gemm(a_u8, packed: PackedGemmWeights, rparams):
     return apply_requant(q8gemm_acc(a_u8, packed), rparams)
 
 
+def _pad_waste(dim: int, tile: int, granularity: int) -> float:
+    """Padded-to-tile size over logical size for one GEMM dimension
+    (mirrors the clamping in kernels.q8gemm.q8gemm_pallas)."""
+    from .packing import round_up
+    eff_tile = min(tile, round_up(dim, granularity))
+    return round_up(dim, eff_tile) / dim
+
+
 def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
-              backend=None, mode=None, threshold=None) -> str:
+              backend=None, mode=None, tune=None) -> str:
     """Decide "xla" vs "pallas" for a GEMM call - the measured dispatch
     rule replacing the reference's per-uarch kernel table entry
     (src/init.c:53-84 picks the q8gemm ukernel and the XZP kthreshold per
     microarchitecture; here the table is config.TuneParams, filled from the
-    committed BENCH_GEMM_PATHS.json sweep).
+    committed BENCH_GEMM_CROSSOVER.json / BENCH_GEMM_PATHS.json sweeps).
+
+    Measured v5e rule (2026-08-21): Pallas iff
+        threshold <= M*N*K <= ceiling
+        AND min(M, N, K) >= min_dim
+        AND tile-padding waste <= max_pad_waste
+    which captures where the fused Pallas kernel wins (+19..29% at 1024^3,
+    +3..5% at aligned ~2*1024^3 shapes) and excludes where it loses (XLA
+    +2.5..4% at >= 2048^3; up to 2.8x at padding-hostile sizes).
 
     The Pallas kernel is only legal for 2-D activations (rank > 2 runs the
     natural-rank XLA contraction, which avoids a relayout copy) and
     per-tensor requantization (per-channel scale slicing is not plumbed
     through its BlockSpecs).  `mode` (config.pallas_mode) can force either
     path; "always" is interpreted off-TPU so CI can exercise the route.
+    `tune` overrides the probed TuneParams record (tests).
     """
     from ..config import config, tune_params
     from ..quant.params import PerChannelFP32Params
@@ -83,11 +100,21 @@ def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
         backend = jax.default_backend()
     if backend != "tpu":
         return "xla"
-    thr = tune_params().pallas_gemm_threshold if threshold is None else threshold
-    if thr is None:
+    tp = tune_params() if tune is None else tune
+    if tp.pallas_gemm_threshold is None:
         return "xla"
-    m = shape[0]
-    return "pallas" if m * packed.n * packed.k >= thr else "xla"
+    m, (n, k) = shape[0], (packed.n, packed.k)
+    mnk = m * n * k
+    if not (tp.pallas_gemm_threshold <= mnk <= tp.pallas_gemm_ceiling):
+        return "xla"
+    if min(m, n, k) < tp.pallas_gemm_min_dim:
+        return "xla"
+    waste = (_pad_waste(m, tp.gemm_tile_m, 32)
+             * _pad_waste(n, tp.gemm_tile_n, 128)
+             * _pad_waste(k, tp.gemm_tile_k, 128))
+    if waste > tp.pallas_gemm_max_pad_waste:
+        return "xla"
+    return "pallas"
 
 
 def q8gemm_routed(a_u8, packed: PackedGemmWeights, rparams):

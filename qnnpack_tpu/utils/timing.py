@@ -67,10 +67,13 @@ def dispatch_overhead() -> tuple:
 def _perturb(x, i):
     """Vary the input per loop iteration (defeats loop-invariant hoisting)
     without changing its magnitude distribution: XOR with (i & 3) for
-    integer dtypes, add a tiny multiple of i for floats."""
-    if jnp.issubdtype(x.dtype, jnp.integer):
-        return x ^ (i & 3).astype(x.dtype)
-    return x + (i & 3).astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+    integer dtypes, add a tiny multiple of i for floats.  `x` may be any
+    pytree of arrays (multi-input ops pass a tuple and unpack in `fn`)."""
+    def one(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            return leaf ^ (i & 3).astype(leaf.dtype)
+        return leaf + (i & 3).astype(leaf.dtype) * jnp.asarray(1e-6, leaf.dtype)
+    return jax.tree.map(one, x)
 
 
 def _make_loop(fn, n: int, chain: bool):

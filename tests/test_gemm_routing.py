@@ -29,31 +29,46 @@ def make_packed(n=32, k=64):
 RP = make_requant_params("fp32", 0.01, 128)
 
 
+V5E = config_mod.TuneParams("v5e", pallas_gemm_threshold=1 << 30)
+
+
 class TestGemmPathRule:
-    def test_threshold_routes_large_to_pallas(self):
-        _, packed = make_packed()
-        thr = 8 * packed.n * packed.k
-        assert gemm_path((8, packed.k), packed, RP, backend="tpu",
-                         mode="auto", threshold=thr) == "pallas"
-        assert gemm_path((7, packed.k), packed, RP, backend="tpu",
-                         mode="auto", threshold=thr) == "xla"
+    def test_window_rule(self):
+        # The measured v5e window (BENCH_GEMM_CROSSOVER.json): in-window
+        # aligned shapes route to Pallas, everything else to XLA.
+        _, packed = make_packed(n=1024, k=1024)
+        args = dict(backend="tpu", mode="auto", tune=V5E)
+        assert gemm_path((1024, 1024), packed, RP, **args) == "pallas"
+        assert gemm_path((2048, 1024), packed, RP, **args) == "pallas"
+        # Above the ceiling (2048^3 measured XLA-faster):
+        big, pbig = make_packed(n=2048, k=2048)
+        assert gemm_path((2048, 2048), pbig, RP, **args) == "xla"
+        # Below min_dim even when M*N*K is in-window:
+        skinny, pskinny = make_packed(n=512, k=1024)
+        assert gemm_path((4096, 1024), pskinny, RP, **args) == "xla"
+        # Padding-hostile size inside the M*N*K window (1448^3 measured
+        # 2.8x padded work; 1100^3 is the in-window equivalent):
+        odd, podd = make_packed(n=1100, k=1100)
+        assert gemm_path((1100, 1100), podd, RP, **args) == "xla"
 
     def test_threshold_none_means_retired(self):
-        _, packed = make_packed()
-        assert gemm_path((1 << 20, packed.k), packed, RP, backend="tpu",
-                         mode="auto", threshold=None) == "xla"
+        _, packed = make_packed(n=1024, k=1024)
+        retired = config_mod.TuneParams("x", pallas_gemm_threshold=None)
+        assert gemm_path((1024, 1024), packed, RP, backend="tpu",
+                         mode="auto", tune=retired) == "xla"
 
     def test_non_tpu_backend_stays_on_xla(self):
-        _, packed = make_packed()
-        assert gemm_path((1 << 20, packed.k), packed, RP, backend="cpu",
-                         mode="auto", threshold=1) == "xla"
+        _, packed = make_packed(n=1024, k=1024)
+        assert gemm_path((1024, 1024), packed, RP, backend="cpu",
+                         mode="auto", tune=V5E) == "xla"
 
     def test_mode_overrides(self):
         _, packed = make_packed()
         assert gemm_path((4, packed.k), packed, RP, backend="tpu",
                          mode="always") == "pallas"
-        assert gemm_path((1 << 20, packed.k), packed, RP, backend="tpu",
-                         mode="never", threshold=1) == "xla"
+        _, p1k = make_packed(n=1024, k=1024)
+        assert gemm_path((1024, 1024), p1k, RP, backend="tpu",
+                         mode="never", tune=V5E) == "xla"
         with pytest.raises(ValueError):
             gemm_path((4, packed.k), packed, RP, mode="sometimes")
 

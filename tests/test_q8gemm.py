@@ -131,6 +131,23 @@ class TestQ8GemmPallas:
         oracle = {"q31": oracles.oracle_q31, "fp32": oracles.oracle_fp32}[scheme]
         np.testing.assert_array_equal(got, oracle(acc, rp))
 
+    @pytest.mark.parametrize("zps", [(0, 0), (255, 255), (0, 255),
+                                     (128, 128), (121, 128), (128, 103)])
+    def test_zero_point_extremes(self, zps):
+        # w_zp == 128 exercises the no-zero-point kernel variant
+        # (_q8gemm_kernel) and its 0x80-padding invariant; the others hit
+        # the row-sum kernel at the edges of the uint8 range.
+        a_zp, w_zp = zps
+        a, w, bias = make_case(33, 64, 150)
+        acc = reference_acc(a, w, bias, a_zp, w_zp)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params("q31", scale, zp)
+        packed = pack_gemm_weights(w, bias, a_zp, w_zp)
+        got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
+                                       tile_m=32, tile_n=128, tile_k=128,
+                                       interpret=INTERPRET))
+        np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
+
     def test_multi_k_tile_accumulation(self):
         # K streamed over several tiles must accumulate exactly.
         a, w, bias = make_case(32, 128, 700)
