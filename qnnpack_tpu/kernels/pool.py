@@ -16,6 +16,15 @@ Window access uses the shared zero-point-padded phase-plane + halo layout
   - average pooling pads with the input zero point so padded taps cancel
     against the bias = -izp * pool_size exactly like the reference's zero
     rows (src/average-pooling.c:166-178).
+
+STATUS (measured 2026-08-21, BENCH_KERNEL_ROUTING.json): bench-only, not
+dispatched.  XLA's reduce_window path wins or ties every measured shape:
+maxpool3x3s2 64x56x56x24: XLA 249 vs Pallas 15 GB/s; avgpool7x7
+64x28x28x96: 371 vs 67; gavgpool 128x49x1280: 499 vs 133; the only tie is
+maxpool at 1x112x112x64 (37 vs 38 GB/s, inside dispersion).  These kernels
+remain the bit-exactness cross-checks (tests/test_kernels_pallas.py).
+Routing discipline per src/init.c:69-84: no dispatch without a measured
+win.
 """
 
 from __future__ import annotations

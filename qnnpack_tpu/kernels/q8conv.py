@@ -18,6 +18,17 @@ unit-stride slice.
 Activation row sums (the kernel-zero-point correction, the reference's XZP
 path generalization) accumulate alongside the matmuls, and the fused
 requantization epilogue keeps the int32 accumulator out of HBM entirely.
+
+STATUS (measured 2026-08-21, BENCH_KERNEL_ROUTING.json): bench-only, not
+dispatched.  XLA's conv lowering wins at every measured model shape -
+stem conv3x3s2 1x224x224x3->32: XLA 287 vs Pallas 127 GOPS; ResNet-body
+conv3x3 8x56x56x64->64: 11,839 vs 10,430; 32x14x14x160->160: 61,183 vs
+13,688 - because XLA's implicit-im2col tiling amortizes the halo reads
+across output tiles better than this kernel's per-tap phase planes.  The
+kernel stays as the bit-exactness cross-check for the conv contract
+(tests/test_kernels_pallas.py) and as the starting point if a future shape
+class shows an XLA gap.  Routing discipline per src/init.c:69-84: no
+dispatch without a measured win.
 """
 
 from __future__ import annotations

@@ -18,6 +18,14 @@ an in-kernel one-hot-matmul emulation costs 512 MXU MACs and a 256x one-hot
 expansion per byte - strictly worse than the fused gather on both FLOPs and
 VMEM.  This is the same hardware-driven call the reference makes in the
 opposite direction (a LUT beats vector exp on NEON, sigmoid.c:90-110).
+
+STATUS (measured 2026-08-21, BENCH_KERNEL_ROUTING.json): bench-only, not
+dispatched.  XLA's fused elementwise lowering wins every measured shape by
+2-6x: vadd 128x14x14x96: XLA 461 vs Pallas 94 GB/s; clamp 128x28x28x96:
+817 vs 142; at the dispatch-bound small shapes (vadd 1x56x56x24: 57 vs 23)
+both are far from HBM rate and XLA still leads.  These kernels remain the
+bit-exactness cross-checks (tests/test_kernels_pallas.py).  Routing
+discipline per src/init.c:69-84: no dispatch without a measured win.
 """
 
 from __future__ import annotations

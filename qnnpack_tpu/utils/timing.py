@@ -10,7 +10,7 @@ timed iteration) applied to a remote-dispatch setting:
 
 1. The per-call dispatch overhead is measured DIRECTLY, once, with a
    trivial jitted program (median + spread of 15 calls).
-2. The workload runs inside one jitted ``lax.fori_loop`` of N iterations,
+2. The workload runs inside one jitted ``lax.scan`` of N iterations,
    so N iterations cost exactly one dispatch.  N is sized so the loop body
    time is >= max(min_seconds, 50x the observed dispatch spread); N is
    rounded to a power of two so repeated runs reuse the compilation cache.
@@ -77,19 +77,29 @@ def _perturb(x, i):
 
 
 def _make_loop(fn, n: int, chain: bool):
+    # lax.scan, NOT lax.fori_loop: on the axon remote backend,
+    # block_until_ready does not wait for programs whose compute is
+    # elementwise-only (measured 2026-08-21: a 16384-iteration fori_loop
+    # over a 256 MB uint8 buffer "completed" in 30 us, i.e. 68 TB/s, and a
+    # single 64 MB elementwise dispatch in 60 us; force-consuming the
+    # deferred result then stalled the device for minutes).  The same
+    # bodies under lax.scan block correctly (26.7 ms for 64 x 64 MB
+    # passes = a plausible 320 GB/s), as do matmul-containing fori_loops,
+    # so scan is used for both loop shapes.  See BENCH_NOTES.md.
+    idx = jnp.arange(n)
     if chain:
         @jax.jit
         def loop(x0):
-            def body(i, v):
-                return fn(_perturb(v, i))
-            return jax.lax.fori_loop(0, n, body, x0)
+            def body(v, i):
+                return fn(_perturb(v, i)), ()
+            return jax.lax.scan(body, x0, idx)[0]
     else:
         @jax.jit
         def loop(x0):
-            def body(i, s):
+            def body(s, i):
                 y = fn(_perturb(x0, i))
-                return s + jnp.sum(y).astype(jnp.float32)
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+                return s + jnp.sum(y).astype(jnp.float32), ()
+            return jax.lax.scan(body, jnp.float32(0), idx)[0]
     return loop
 
 

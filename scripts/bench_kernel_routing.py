@@ -76,7 +76,7 @@ def main():
         print(f"{key}: {r}", flush=True)
 
     # --- q8vadd: MobileNet residual-add shapes ---------------------------
-    ap = compute_add_quant_params(121, 127, 113, 0.5, 0.6, 0.55, 0, 255)
+    ap = compute_add_quant_params(121, 127, 113, 0.5, 0.6, 0, 255)
     for shape in [(1, 56, 56, 24), (32, 28, 28, 32), (128, 14, 14, 96)]:
         a, b = u8(*shape), u8(*shape)
         row(f"vadd_{'x'.join(map(str, shape))}", 3 * a.size, "gbps",

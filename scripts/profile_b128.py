@@ -1,14 +1,14 @@
 #!/usr/bin/env python
 """Per-layer cost breakdown of the b128 MobileNetV2 forward.
 
-Times each UNIQUE (kind, shape) layer combination in isolation (slope
-timing, like bench.py) and prints a sorted cost table weighted by how many
-times the shape occurs, so we can see where the batch time goes.
-VERDICT round-1 item #1.
+Times each UNIQUE (kind, shape) layer combination in isolation with the
+fixed-N median harness (utils/timing.measure_loop; see BENCH_NOTES.md) and
+prints a sorted cost table weighted by how many times the shape occurs, so
+we can see where the batch time goes.  VERDICT round-1 item #1; the
+committed artifact is PROFILE_B128.md.
 """
 import os
 import sys
-import time
 
 import numpy as np
 import jax
@@ -24,33 +24,13 @@ from qnnpack_tpu.nn.gemm import q8gemm
 from qnnpack_tpu.nn.conv import q8conv2d
 from qnnpack_tpu.nn.pool import q8gavgpool
 from qnnpack_tpu.quant.requantize import add_quantize
+from qnnpack_tpu.utils.timing import measure_loop
 
 BATCH = int(os.environ.get("B", "128"))
-ITERS = int(os.environ.get("ITERS", "12"))
 
 
-def timeit(fn, x, iters=ITERS):
-    def make(n):
-        @jax.jit
-        def loop(x0):
-            def body(i, s):
-                v = x0 ^ (i & 3).astype(jnp.uint8)
-                y = fn(v)
-                return s + jnp.sum(y, dtype=jnp.int32)
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return loop
-    n1, n2 = max(iters // 4, 1), iters
-    t = {}
-    for n in (n1, n2):
-        loop = make(n)
-        loop(x).block_until_ready()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            loop(x).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        t[n] = best
-    return (t[n2] - t[n1]) / (n2 - n1)
+def timeit(fn, x):
+    return measure_loop(fn, x, min_seconds=0.15, repeats=3).seconds
 
 
 def main():
@@ -59,8 +39,28 @@ def main():
     x = jnp.asarray(rng.integers(0, 256, (BATCH, 224, 224, 3),
                                  dtype=np.int64).astype(np.uint8))
 
+    # Same-day capability (see BENCH_NOTES.md): int8 dot peak + HBM rate.
+    rngc = np.random.default_rng(3)
+    d = 4096
+    ai = jnp.asarray(rngc.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
+    wi = jnp.asarray(rngc.integers(0, 256, (d, d), dtype=np.int64) - 128,
+                     jnp.int8)
+    mcap = measure_loop(
+        lambda v: (jnp.matmul(v, wi, preferred_element_type=jnp.int32)
+                   >> 8).astype(jnp.int8), ai, chain=True,
+        est_seconds=1e-3, min_seconds=0.2, repeats=3)
+    int8_ops = 2.0 * d**3 / mcap.seconds          # int8 MACs*2 per second
+    xh = jnp.asarray(rngc.integers(0, 256, (128 * 1024 * 1024,),
+                                   dtype=np.int64).astype(np.uint8))
+    mh = measure_loop(lambda v: v + jnp.uint8(1), xh, chain=True,
+                      est_seconds=5e-4, min_seconds=0.2, repeats=3)
+    hbm_bps = 2.0 * xh.size / mh.seconds
+    print(f"capability: int8 {int8_ops/1e12:.0f} TOPS, "
+          f"HBM {hbm_bps/1e9:.0f} GB/s", flush=True)
+
     # Walk the graph, recording unique (kind, key) -> (fn, input, count).
-    combos = {}  # key -> [fn, x_input, count, example_name]
+    combos = {}  # key -> [fn, x_input, count, example_name, flops, bytes]
     xs = x
     residual = None
     for (tag, name, layer), p in zip(spec.layers, params):
@@ -71,12 +71,14 @@ def main():
             r = residual
             fn = lambda v, r=r, layer=layer: add_quantize(v, r, layer)
             key = ("add", xs.shape)
+            flops, nbytes = 0, 3 * xs.size
             residual = None
         elif tag == "gap":
             def fn(v, layer=layer):
                 b, h, w, c = v.shape
                 return q8gavgpool(v.reshape(b, h * w, c), layer, axis=1)
             key = ("gap", xs.shape)
+            flops, nbytes = 0, xs.size + xs.shape[0] * xs.shape[3]
         elif tag == "conv" and layer.kind == "gemm":
             if xs.ndim == 4:
                 def fn(v, p=p, layer=layer):
@@ -84,43 +86,92 @@ def main():
                     return q8gemm(v.reshape(b * h * w, c), p,
                                   layer.rparams).reshape(b, h, w, -1)
                 key = ("gemm", xs.shape, p.n)
+                m_rows = xs.size // xs.shape[-1]
             else:
                 def fn(v, p=p, layer=layer):
                     return q8gemm(v, p, layer.rparams)
                 key = ("fc", xs.shape, p.n)
+                m_rows = xs.shape[0]
+            flops = 2 * m_rows * p.k * p.n
+            nbytes = m_rows * p.k + p.k * p.n + m_rows * p.n + 4 * p.n
         elif tag == "conv":
             fn = lambda v, p=p, layer=layer: q8conv2d(
                 v, p, layer.rparams, layer.strides, layer.padding)
             kind = "dwconv" if layer.kind == "dwconv" else "conv"
             key = (kind, xs.shape, p.w.shape, layer.strides)
-        xs2 = fn(xs)
+            b = xs.shape[0]
+            oh = -(-xs.shape[1] // layer.strides[0])
+            ow = -(-xs.shape[2] // layer.strides[1])
+            co = p.groups * p.group_output_channels
+            flops = (2 * b * oh * ow * co * p.kernel_height
+                     * p.kernel_width * p.group_input_channels)
+            nbytes = (xs.size + b * oh * ow * co
+                      + p.w.size + 4 * co)
+        # Next activation: shape via eval_shape (zero device work - eager
+        # per-primitive dispatch costs ~14 s each through this tunnel),
+        # contents random (int kernels are data-independent in time).
+        nxt = jax.eval_shape(fn, xs)
         if key in combos:
             combos[key][2] += 1
         else:
-            combos[key] = [fn, xs, 1, name]
-        xs = xs2
+            combos[key] = [fn, xs, 1, name, flops, nbytes]
+        xs = jnp.asarray(rng.integers(0, 256, nxt.shape,
+                                      dtype=np.int64).astype(np.uint8))
 
     rows = []
-    for key, (fn, xi, count, name) in combos.items():
+    for key, (fn, xi, count, name, flops, nbytes) in combos.items():
         dt = timeit(fn, xi)
-        rows.append((key[0], name, xi.shape, count, dt, dt * count))
-        print(f"  measured {name} ({key[0]}) x{count}: {dt*1e3:.3f} ms",
-              flush=True)
+        roof = max(flops / int8_ops, nbytes / hbm_bps)
+        bound = ("MXU" if flops / int8_ops > nbytes / hbm_bps else "HBM")
+        rows.append((key[0], name, xi.shape, count, dt, dt * count,
+                     roof, bound))
+        print(f"  measured {name} ({key[0]}) x{count}: {dt*1e3:.3f} ms "
+              f"({100*roof/dt:.0f}% of {bound} roofline)", flush=True)
 
     total = sum(r[5] for r in rows)
+    total_roof = sum(r[6] * r[3] for r in rows)
     rows.sort(key=lambda r: -r[5])
-    print(f"\n=== b{BATCH} unique-layer cost breakdown "
-          f"(weighted sum: {total*1e3:.2f} ms) ===")
-    print(f"{'kind':7s} {'example':24s} {'in_shape':24s} {'x':>3s} "
-          f"{'ms_each':>8s} {'ms_total':>9s} {'%':>6s}")
+
+    lines = []
+    lines.append(f"# b{BATCH} MobileNetV2 per-layer cost breakdown")
+    lines.append("")
+    lines.append(f"Measured on `{jax.devices()[0].device_kind}`, "
+                 "fixed-N median harness (BENCH_NOTES.md).  Same-day "
+                 f"capability: int8 {int8_ops/1e12:.0f} TOPS, HBM "
+                 f"{hbm_bps/1e9:.0f} GB/s.")
+    lines.append("")
+    lines.append(f"Weighted unique-layer sum: **{total*1e3:.2f} ms** "
+                 f"(batch {BATCH}); roofline lower bound at same-day "
+                 f"capability: {total_roof*1e3:.2f} ms "
+                 f"(= {100*total_roof/total:.0f}% attained).")
+    lines.append("")
+    lines.append("| kind | example | in_shape | x | ms_each | ms_total "
+                 "| % | roofline_ms | % of roof | bound |")
+    lines.append("|---|---|---|---|---|---|---|---|---|---|")
     agg = {}
-    for kind, name, ishape, count, dt, wdt in rows:
-        print(f"{kind:7s} {name:24s} {str(ishape):24s} {count:3d} "
-              f"{dt*1e3:8.3f} {wdt*1e3:9.3f} {100*wdt/total:6.1f}")
+    agg_roof = {}
+    for kind, name, ishape, count, dt, wdt, roof, bound in rows:
+        lines.append(
+            f"| {kind} | {name} | {ishape} | {count} | {dt*1e3:.3f} "
+            f"| {wdt*1e3:.3f} | {100*wdt/total:.1f} | {roof*1e3:.3f} "
+            f"| {100*roof/dt:.0f} | {bound} |")
         agg[kind] = agg.get(kind, 0.0) + wdt
-    print("\n--- by kind ---")
+        agg_roof[kind] = agg_roof.get(kind, 0.0) + roof * count
+    lines.append("")
+    lines.append("## By kind")
+    lines.append("")
+    lines.append("| kind | ms | % of total | % of roofline |")
+    lines.append("|---|---|---|---|")
     for kind, dt in sorted(agg.items(), key=lambda kv: -kv[1]):
-        print(f"{kind:8s} {dt*1e3:8.2f} ms  {100*dt/total:5.1f}%")
+        lines.append(f"| {kind} | {dt*1e3:.2f} | {100*dt/total:.1f} "
+                     f"| {100*agg_roof[kind]/dt:.0f} |")
+    report = "\n".join(lines) + "\n"
+    print("\n" + report)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PROFILE_B128.md")
+    with open(out, "w") as f:
+        f.write(report)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -48,3 +48,25 @@ def test_tune_params_probe():
     tp = config_mod.tune_params()
     assert tp.generation in ("cpu", "v5e", "v5p", "v6e", "generic")
     assert config_mod.initialize() is tp
+
+
+def test_measure_loop_scan_harness():
+    """The timing harness must produce positive, finite per-iteration time
+    with a dispersion stat, and its loop must be lax.scan-based so
+    elementwise bodies synchronize on the axon backend (BENCH_NOTES.md
+    'Async dispatch of elementwise-only programs')."""
+    from qnnpack_tpu.utils.timing import measure_loop
+
+    w = jnp.ones((64, 64), jnp.float32)
+    m = measure_loop(lambda v: jnp.matmul(v, w), jnp.ones((64, 64)),
+                     chain=True, min_seconds=0.02, repeats=3,
+                     est_seconds=1e-5)
+    assert m.seconds > 0 and np.isfinite(m.seconds)
+    assert m.dispersion >= 0
+    assert m.n_iters & (m.n_iters - 1) == 0  # power of two
+
+    # elementwise body (the axon-problematic case) must also measure
+    m2 = measure_loop(lambda v: v + jnp.uint8(1),
+                      jnp.zeros((1024, 1024), jnp.uint8), chain=True,
+                      min_seconds=0.02, repeats=3, est_seconds=1e-5)
+    assert m2.seconds > 0
