@@ -9,15 +9,20 @@ GOPS-accounting discipline of the reference's benchmark harness
 timed iteration) applied to a remote-dispatch setting:
 
 1. The per-call dispatch overhead is measured DIRECTLY, once, with a
-   trivial jitted program (median + spread of 15 calls).
-2. The workload runs inside one jitted ``lax.scan`` of N iterations,
-   so N iterations cost exactly one dispatch.  N is sized so the loop body
-   time is >= max(min_seconds, 50x the observed dispatch spread); N is
-   rounded to a power of two so repeated runs reuse the compilation cache.
-3. Per-iteration time = (median of K loop timings - dispatch median) / N.
-   It is asserted positive, and the relative spread of the K samples is
-   reported alongside every value so downstream consumers (BENCH rows,
-   dispatch thresholds, docstring claims) carry their own error bars.
+   trivial jitted program (median + spread of 15 calls) - used to size the
+   noise floor, not subtracted from workload timings.
+2. The workload runs inside jitted ``lax.scan`` loops of N and 2N
+   iterations; per-iteration time = (median t(2N) - median t(N)) / N.
+   Differencing two loop lengths cancels the dispatch overhead AND the
+   ~25 ms fixed per-execution cost of scan programs on the axon backend
+   (see measure_loop docstring).  N is sized so the DIFFERENCE is >=
+   max(min_seconds, 50x the observed dispatch spread), growing
+   adaptively if the first estimate was too high; N is rounded to a power
+   of two so repeated runs reuse the compilation cache.
+3. The marginal time is asserted positive, and the relative spread of the
+   interleaved K-run samples is reported alongside every value so
+   downstream consumers (BENCH rows, dispatch thresholds, docstring
+   claims) carry their own error bars.
 
 The loop body XORs the input with (i & 3) to defeat loop-invariant
 hoisting, and consumes the full output either by chaining it into the next
@@ -110,47 +115,70 @@ def _timed(loop, x) -> float:
 
 
 def measure_loop(fn, x, *, chain: bool = False, min_seconds: float = 0.3,
-                 repeats: int = 5, max_iters: int = 1 << 14,
+                 repeats: int = 5, max_iters: int = 1 << 17,
                  min_iters: int = 4,
                  est_seconds: float | None = None) -> Measurement:
     """Measure per-iteration device time of ``fn(x)``; see module doc.
 
+    Two-point method at LARGE n: per-iteration time is
+    ``(t(2n) - t(n)) / n`` with each total the median of ``repeats`` runs.
+    Differencing two loop timings cancels BOTH the per-dispatch overhead
+    AND the ~25 ms fixed per-execution cost of scan-containing programs on
+    the axon backend (measured 2026-08-21, constant from n=32 to n=8192;
+    subtracting only the trivial-program dispatch overhead inflated every
+    small-n measurement by fixed_cost/n - e.g. an isolated b128 FC layer
+    read 0.78 ms/iter at n=32 vs its true ~9 us).  This is the round-1/2
+    slope method made sound: n is sized so the DIFFERENCE t(2n)-t(n) is >=
+    max(min_seconds, 50x the observed run-to-run jitter), which is the
+    condition the r1/r2 harness violated.
+
     ``est_seconds``: optional caller estimate of the per-iteration time,
-    used to size N without compiling a calibration loop (halves the compile
-    cost of large sweeps; a 2x-off estimate only moves the loop length one
-    power of two, which the median still covers)."""
+    used to size n without a calibration step (a 2x-off estimate only
+    moves n one power of two)."""
     t_disp, spread = dispatch_overhead()
     target = max(min_seconds, 50.0 * spread)
 
-    if est_seconds is not None:
-        est = max(est_seconds, 1e-9)
-        n = 1 << max(math.ceil(math.log2(target / est)), 0)
-        n = max(min(n, max_iters), min_iters)
+    def build(n):
         loop = _make_loop(fn, n, chain)
         loop(x).block_until_ready()  # compile + warmup
+        return loop
+
+    if est_seconds is not None:
+        est = max(est_seconds, 1e-9)
     else:
-        # Calibrate with a short loop to size N.
-        cal = _make_loop(fn, min_iters, chain)
-        cal(x).block_until_ready()  # compile
-        t_cal = min(_timed(cal, x) for _ in range(2))
-        est = max((t_cal - t_disp) / min_iters, 1e-9)
+        # Calibrate: difference two small loops (cancels the fixed cost).
+        n_cal = 256
+        c1, c2 = build(n_cal), build(2 * n_cal)
+        t1 = min(_timed(c1, x) for _ in range(2))
+        t2 = min(_timed(c2, x) for _ in range(2))
+        est = max((t2 - t1) / n_cal, 1e-9)
 
-        n = 1 << max(math.ceil(math.log2(target / est)), 0)
+    for _ in range(4):
+        n = 1 << max(math.ceil(math.log2(target / est)), 2)
         n = max(min(n, max_iters), min_iters)
-        if n == min_iters and t_cal >= target:
-            # Calibration loop already long enough; reuse its timing setup.
-            loop = cal
-        else:
-            loop = _make_loop(fn, n, chain)
-            loop(x).block_until_ready()  # compile + warmup
+        lo, hi = build(n), build(2 * n)
+        # Interleave to decorrelate drift between the two loop lengths.
+        ts_lo, ts_hi = [], []
+        for _ in range(repeats):
+            ts_lo.append(_timed(lo, x))
+            ts_hi.append(_timed(hi, x))
+        med_lo = statistics.median(ts_lo)
+        med_hi = statistics.median(ts_hi)
+        delta = med_hi - med_lo
+        jitter = ((max(ts_lo) - min(ts_lo)) + (max(ts_hi) - min(ts_hi))) / 2
+        if n >= max_iters or (delta > 0 and delta >= min(target, 10 * jitter)):
+            break
+        # Signal too small vs noise: the estimate was too high; re-estimate
+        # from this pair and try a longer loop.
+        est = max(delta / n, est / 8, 1e-9)
 
-    totals = [_timed(loop, x) for _ in range(repeats)]
-    samples = tuple((t - t_disp) / n for t in totals)
-    med = statistics.median(samples)
-    if med <= 0:
+    if delta <= 0:
         raise RuntimeError(
-            f"non-positive per-iteration time {med:.3e}s at n={n}; "
-            f"dispatch overhead {t_disp:.3e}s dominates - raise min_seconds")
-    dispersion = (max(samples) - min(samples)) / med
-    return Measurement(seconds=med, dispersion=dispersion, n_iters=n,
-                       samples=samples)
+            f"non-positive marginal time {delta:.3e}s between n={n} and "
+            f"n={2*n}; dispatch/fixed overhead dominates - raise min_seconds "
+            f"or max_iters")
+    seconds = delta / n
+    # Dispersion: relative spread of the differenced samples.
+    dispersion = ((max(ts_hi) - min(ts_hi)) + (max(ts_lo) - min(ts_lo))) / delta
+    return Measurement(seconds=seconds, dispersion=dispersion, n_iters=n,
+                       samples=tuple((t - t_disp) / n for t in ts_hi))

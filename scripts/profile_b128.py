@@ -29,8 +29,12 @@ from qnnpack_tpu.utils.timing import measure_loop
 BATCH = int(os.environ.get("B", "128"))
 
 
-def timeit(fn, x):
-    return measure_loop(fn, x, min_seconds=0.15, repeats=3).seconds
+def timeit(fn, x, est=None):
+    # est: roofline-derived per-iteration estimate (assume ~20% attainment)
+    # to skip the calibration compile pair - a 2x-off estimate only moves
+    # the loop length one power of two.
+    return measure_loop(fn, x, min_seconds=0.15, repeats=3,
+                        est_seconds=est).seconds
 
 
 def main():
@@ -80,16 +84,15 @@ def main():
             key = ("gap", xs.shape)
             flops, nbytes = 0, xs.size + xs.shape[0] * xs.shape[3]
         elif tag == "conv" and layer.kind == "gemm":
+            # Natural-rank contraction, exactly as mobilenet_v2_forward
+            # does it - reshaping to (BHW, C) first forces the relayout
+            # copy the round-2 fix removed (nn/gemm.q8gemm_acc docstring).
+            def fn(v, p=p, layer=layer):
+                return q8gemm(v, p, layer.rparams)
             if xs.ndim == 4:
-                def fn(v, p=p, layer=layer):
-                    b, h, w, c = v.shape
-                    return q8gemm(v.reshape(b * h * w, c), p,
-                                  layer.rparams).reshape(b, h, w, -1)
                 key = ("gemm", xs.shape, p.n)
                 m_rows = xs.size // xs.shape[-1]
             else:
-                def fn(v, p=p, layer=layer):
-                    return q8gemm(v, p, layer.rparams)
                 key = ("fc", xs.shape, p.n)
                 m_rows = xs.shape[0]
             flops = 2 * m_rows * p.k * p.n
@@ -120,7 +123,8 @@ def main():
 
     rows = []
     for key, (fn, xi, count, name, flops, nbytes) in combos.items():
-        dt = timeit(fn, xi)
+        roof_est = max(flops / int8_ops, nbytes / hbm_bps)
+        dt = timeit(fn, xi, est=max(roof_est, 2e-6) / 0.2)
         roof = max(flops / int8_ops, nbytes / hbm_bps)
         bound = ("MXU" if flops / int8_ops > nbytes / hbm_bps else "HBM")
         rows.append((key[0], name, xi.shape, count, dt, dt * count,
