@@ -82,6 +82,14 @@ def _bert_base(seq=128):
             (seq, 768), None)  # token-graph spec: no conv cost model
 
 
+# Per-iteration time hints (seconds per sample at batch 1), used to size the
+# measurement loop without a calibration pass: for the big token models the
+# calibration would build a 256-iteration scan over a ~0.2 s b128 body,
+# which is what faulted the round-3 BERT row (scan of 256 x 221 ms = a
+# 56 s device program).  A 2x-off hint only moves n one power of two.
+EST_PER_SAMPLE_S = {"bert_base_s128": 1.6e-3}
+
+
 def _roofline_ms(spec, batch, in_shape, tops, gbps):
     """Analytic best-case forward time against the MEASURED same-day peaks:
     max(compute, bandwidth) bound over the summed graph cost
@@ -133,8 +141,11 @@ def main():
         for batch in (1, args.batch):
             x = jnp.asarray(rng.integers(
                 0, 256, (batch,) + in_shape, dtype=np.int64).astype(np.uint8))
+            est = EST_PER_SAMPLE_S.get(name)
             try:
-                meas = measure_loop(lambda v: fwd(params, v), x)
+                meas = measure_loop(
+                    lambda v: fwd(params, v), x,
+                    est_seconds=None if est is None else est * batch)
             except Exception as exc:  # noqa: BLE001 - record and continue
                 row[f"b{batch}"] = f"error: {type(exc).__name__}: {exc}"[:120]
                 continue

@@ -31,11 +31,11 @@ class TuneParams:
     gemm_tile_k: int = 1024
     # Pallas-vs-XLA GEMM routing window (the per-uarch gemm-vs-xzp
     # kthreshold analogue, init.c:69-84), consumed by nn.gemm.gemm_path().
-    # Measured on v5e 2026-08-21 (BENCH_GEMM_CROSSOVER.json + the
-    # confirmation A/B runs recorded in BENCH_GEMM_PATHS.json commit):
-    # the Pallas kernel wins +19..29% at 1024^3 and +3..5% up to ~2*1024^3
-    # aligned shapes, ties/loses at >= 2048^3 (XLA +2.5..4%) and loses
-    # badly wherever tile padding inflates the work (1448^3: 2.8x).
+    # Measured on v5e 2026-08-21 (BENCH_GEMM_CROSSOVER.json): the Pallas
+    # kernel wins +23% at 1024^3 (300,660 vs 243,716 GOPS), loses narrowly
+    # at 2048^3 (269,523 vs 277,437) and clearly at >= 2896^3, and loses
+    # badly wherever tile padding inflates the work (1448^3: 86,013 vs
+    # 219,976, 2.8x padded).
     # Route to Pallas iff threshold <= M*N*K <= ceiling AND
     # min(M,N,K) >= min_dim AND tile-padding waste <= max_pad_waste.
     # threshold None = Pallas retired on this generation (no win window).
@@ -43,6 +43,22 @@ class TuneParams:
     pallas_gemm_ceiling: int = 1 << 31
     pallas_gemm_min_dim: int = 1024
     pallas_gemm_max_pad_waste: float = 1.05
+    # Small-shape (skinny) GEMM kernel (kernels/q8gemm_small.py): K untiled,
+    # M-only grid, W resident in VMEM.  Measured win region on v5e
+    # (BENCH_GEMM_SMALL.json, 2026-08-21): the kernel wins FAT-N shapes -
+    # +22% at 784x1280x320, +40% at 512x3072x768, +70% at 2048x3072x768,
+    # +8% at 3136x1280x320 - and ties/loses everywhere N < 1280 (XLA wins
+    # thin-N by 13-58%) and at N=1280 once M reaches 6272 (tie).  Rule:
+    # route iff K <= small_max_k AND N >= small_min_n AND M >= small_min_m
+    # AND (N >= small_fat_n OR M <= small_max_m_mid_n).  Enabled
+    # per-generation only after a measured win; False = not measured.
+    pallas_small_gemm: bool = False
+    pallas_small_min_n: int = 1280
+    pallas_small_min_m: int = 512
+    pallas_small_max_k: int = 1536
+    pallas_small_fat_n: int = 2048
+    pallas_small_max_m_mid_n: int = 4096
+    small_tile_m: int = 1024
     # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
     # large spatial sizes and small batch (measured 5-9x slower than the
     # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins
@@ -62,13 +78,15 @@ class TuneParams:
 _TUNE_TABLE = {
     # device_kind (prefix match, lowercase) -> params.
     # v5e rows MEASURED on hardware (dwconv rule: r1 measurements in
-    # nn/conv.py; gemm tile + threshold: BENCH_GEMM_CROSSOVER.json /
-    # BENCH_GEMM_PATHS.json, 2026-08-21).  int8_peak/hbm are the NOMINAL
+    # nn/conv.py; gemm tile + threshold: BENCH_GEMM_CROSSOVER.json;
+    # small-GEMM rule: BENCH_GEMM_SMALL.json).  int8_peak/hbm are the NOMINAL
     # spec sheet values used for roofline reporting only - benches probe
     # the same-day delivered capability separately (BENCH_NOTES.md).
     "tpu v5 lite": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                              pallas_small_gemm=True,
                               int8_peak_tops=394.0, hbm_gbps=819.0),
     "tpu v5e": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                          pallas_small_gemm=True,
                           int8_peak_tops=394.0, hbm_gbps=819.0),
     # v5p / v6e rows are ESTIMATES (spec-sheet peaks, v5e-tuned thresholds
     # carried over unmeasured - no such hardware in this environment).

@@ -33,6 +33,32 @@ def top1_accuracy(logits, labels) -> float:
                   np.asarray(labels).ravel()).mean())
 
 
+def margin_stats(logits_u8) -> dict:
+    """Top-1-vs-runner-up margin distribution, in output quanta.
+
+    A *graded* health metric for saturated top-1 comparisons: a numerical
+    regression shrinks margins (and shows up here) long before any argmax
+    flips.  Reported as min / p10 / median over rows."""
+    a = np.asarray(logits_u8).astype(np.int32)
+    part = np.partition(a, a.shape[-1] - 2, axis=-1)
+    margins = part[..., -1] - part[..., -2]
+    return {"min": int(margins.min()),
+            "p10": float(np.percentile(margins, 10)),
+            "median": float(np.median(margins))}
+
+
+def diff_stats(a_u8, b_u8) -> dict:
+    """Graded output-difference metrics between two implementations:
+    exact-match rate, mean |diff| in quanta, and max |diff| - all of which
+    move before top-1 agreement does."""
+    a = np.asarray(a_u8).astype(np.int32)
+    b = np.asarray(b_u8).astype(np.int32)
+    d = np.abs(a - b)
+    return {"exact_pct": round(100.0 * float((d == 0).mean()), 3),
+            "mean_quanta": round(float(d.mean()), 5),
+            "max_quanta": int(d.max())}
+
+
 def synth_images(n: int, size: int = 224, seed: int = 17) -> np.ndarray:
     """Deterministic structured evaluation images in [-1, 1], float32.
 

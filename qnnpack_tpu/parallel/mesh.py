@@ -26,6 +26,8 @@ CP-analogue and lives in parallel/halo.py (SURVEY.md 2.2).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -93,6 +95,12 @@ def shard_params(params, mesh: Mesh):
             out.append(None)
             continue
         if _shardable(p, mesh):
+            if isinstance(p, PackedGemmWeights) and p.w_aug is not None:
+                # The single-pass augmentation appends a ones column to W;
+                # under output-channel TP that column would land on one
+                # shard only, so drop it and keep the two-pass row-sum
+                # (its relative cost shrinks with the sharded N anyway).
+                p = dataclasses.replace(p, w_aug=None)
             spec = _param_spec(p)
             shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec)
         else:

@@ -45,10 +45,10 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class Measurement:
-    seconds: float          # device time per iteration (dispatch removed)
-    dispersion: float       # (max - min) / median over the K loop samples
-    n_iters: int            # loop length used
-    samples: tuple          # raw per-iteration samples (seconds)
+    seconds: float          # device time per iteration (two-point method)
+    dispersion: float       # summed (max-min) spread of both loops / delta
+    n_iters: int            # shorter loop length n (the other loop is 2n)
+    samples: tuple          # differenced per-iteration samples (t2n_k - tn_k)/n
 
     def rate(self, items_per_iter: float) -> float:
         return items_per_iter / self.seconds
@@ -166,7 +166,13 @@ def measure_loop(fn, x, *, chain: bool = False, min_seconds: float = 0.3,
         med_hi = statistics.median(ts_hi)
         delta = med_hi - med_lo
         jitter = ((max(ts_lo) - min(ts_lo)) + (max(ts_hi) - min(ts_hi))) / 2
-        if n >= max_iters or (delta > 0 and delta >= min(target, 10 * jitter)):
+        # Accept when the difference clears the sizing target, or - early
+        # accept - when it clears BOTH 10x the observed run-to-run jitter
+        # AND 50x the measured dispatch spread (the floor ties to dispatch
+        # spread so a coincidentally tiny 5-run jitter cannot admit a
+        # delta far below the documented sizing guarantee).
+        floor = min(target, max(50.0 * spread, 10 * jitter))
+        if n >= max_iters or (delta > 0 and delta >= floor):
             break
         # Signal too small vs noise: the estimate was too high; re-estimate
         # from this pair and try a longer loop.
@@ -180,5 +186,9 @@ def measure_loop(fn, x, *, chain: bool = False, min_seconds: float = 0.3,
     seconds = delta / n
     # Dispersion: relative spread of the differenced samples.
     dispersion = ((max(ts_hi) - min(ts_hi)) + (max(ts_lo) - min(ts_lo))) / delta
+    # Samples are the k-th interleaved DIFFERENCED pair (t(2n)_k - t(n)_k)/n
+    # - consistent with `seconds` (whose value is the median-of-medians
+    # version of the same quantity); raw loop timings would embed the scan
+    # fixed cost and the dispatch overhead.
     return Measurement(seconds=seconds, dispersion=dispersion, n_iters=n,
-                       samples=tuple((t - t_disp) / n for t in ts_hi))
+                       samples=tuple((h - l) / n for h, l in zip(ts_hi, ts_lo)))

@@ -40,7 +40,8 @@ def eval_model(tf, asset_path, builder_module, images):
     import jax
     import jax.numpy as jnp
 
-    from qnnpack_tpu.io.accuracy import (element_agreement, quantize_input,
+    from qnnpack_tpu.io.accuracy import (diff_stats, element_agreement,
+                                         margin_stats, quantize_input,
                                          top1_accuracy, top1_agreement)
     from qnnpack_tpu.io.tflite_import import import_tflite
     from qnnpack_tpu.models.graph import graph_forward
@@ -80,6 +81,11 @@ def eval_model(tf, asset_path, builder_module, images):
         "top1_agreement_ours_vs_tflite": round(top1_agreement(ours, ref_u8), 4),
         "element_agreement_1_quantum": round(
             element_agreement(ours, ref_u8, tolerance=1), 4),
+        # Graded (non-saturating) metrics - a numerical regression moves
+        # these long before any top-1 number flips (VERDICT r3 #7):
+        "output_diff_ours_vs_tflite": diff_stats(ours, ref_u8),
+        "top1_margin_quanta_ours": margin_stats(ours),
+        "top1_margin_quanta_tflite": margin_stats(ref_u8),
     }
 
 
@@ -88,12 +94,22 @@ def main():
 
     from qnnpack_tpu.io.accuracy import synth_images
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     images = synth_images(n)
     result = {"date": "2026-08-21",
               "dataset": f"{n} deterministic synthetic images "
                          "(io.accuracy.synth_images seed 17); labels = "
-                         "float model argmax"}
+                         "float model argmax",
+              "weights_provenance": (
+                  "RANDOM-INIT He-redrawn Keras models, NOT pretrained "
+                  "(scripts/make_tflite_model.py; no network access for "
+                  "real weights in this environment).  Saturated top-1 "
+                  "values (1.0 vs 1.0) therefore carry no accuracy "
+                  "gradient by themselves; the graded metrics "
+                  "(output_diff_*, top1_margin_*) are the regression "
+                  "signal, and element_agreement_1_quantum is the "
+                  "reference's operator contract "
+                  "(test/convolution-operator-tester.h:461-464)")}
     for name, (asset, builder) in MODELS.items():
         path = os.path.join(REPO, "assets", asset)
         if not os.path.exists(path):

@@ -3,7 +3,12 @@
 
 Produces the committed evidence behind the GEMM dispatch rule
 (nn.gemm.gemm_path reading TuneParams.pallas_gemm_threshold) - the
-init.c:53-84 measured-selection discipline.  Writes BENCH_GEMM_PATHS.json
+init.c:53-84 measured-selection discipline.  NOTE: the round-3 output of
+this script was deleted in round 4 (its capability rows predated harness
+fix #3, yielding impossible >100% pct_cap values; see BENCH_NOTES.md) -
+the committed routing evidence now lives in BENCH_GEMM_CROSSOVER.json and
+BENCH_GEMM_SMALL.json.  Re-running this script regenerates a sound sweep
+with the current two-point harness.  Writes BENCH_GEMM_PATHS.json
 at the repo root with per-shape {path: {gops, disp, pct_cap}} rows plus the
 same-day capability peaks the pct is computed against (the chip in this
 environment does not run at nominal rate every day; see BENCH_NOTES.md).

