@@ -40,11 +40,13 @@ class PackedGemmWeights:
                  as the product (acc_full[..., -1] = row sums of A) instead
                  of a second HBM pass over the activations.  The MXU-native
                  form of the reference's XZP precomputed-a_sum idea
-                 (src/operator-run.c:711-768): measured on v5e, the separate
-                 rank-1 row-sum matmul cost ~35 us at 4096^3 = exactly one
-                 extra 16 MB read of A at HBM rate, an 8% tax this removes.
-                 Built only when the kernel zero point is nonzero (biased);
-                 costs one duplicate copy of the weights in HBM.
+                 (src/operator-run.c:711-768).  Measured at 4096^3 on v5e
+                 (BENCH_ZP_TAX.json): best kzp!=0 formulation, 425.3 us vs
+                 433.9 two-pass / 429.3 VPU-rowsum; the residual 30.5 us
+                 over the nozp row is the epilogue's dependency on the last
+                 accumulator column (fusion analysis in that artifact), not
+                 A traffic.  Built only when the kernel zero point is
+                 nonzero (biased); costs one duplicate weight copy in HBM.
     k, n:        logical (unpadded) dims
     input_zero_point / kernel_zero_point: original uint8 zero points
     """
