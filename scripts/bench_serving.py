@@ -42,9 +42,31 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "BENCH_SERVING.json")
 
 BUCKETS = [16, 32, 64, 128]
-RATES = [2000, 5000, 10000, 20000]       # offered img/s, open-loop
+RATES = [100, 150, 200, 400]             # offered img/s, open-loop
 DURATION_S = 8.0
 SIZE = 224
+
+
+def transfer_bandwidth():
+    """Host->device and device->host bandwidth of this environment's
+    tunnel, in MB/s - the serving path's dominant cost here (19.3 MB per
+    b128 image batch).  A production host on PCIe/ICI moves 10-100 GB/s;
+    the committed rates must be read against THIS measured link."""
+    x = np.random.default_rng(0).integers(
+        0, 256, (64, SIZE, SIZE, 3), dtype=np.int64).astype(np.uint8)
+    jnp.asarray(x).block_until_ready()  # warm the path
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        jnp.asarray(x).block_until_ready()
+    up = n * x.nbytes / (time.perf_counter() - t0) / 1e6
+    y = jnp.asarray(x)
+    np.asarray(y)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        np.asarray(y)
+    down = n * x.nbytes / (time.perf_counter() - t0) / 1e6
+    return round(up, 1), round(down, 1)
 
 
 def make_server(params, spec):
@@ -132,9 +154,12 @@ def main():
                           dtype=np.int64).astype(np.uint8)
     srv = make_server(params, spec)
 
+    up, down = transfer_bandwidth()
+    print(f"tunnel bandwidth: up {up} MB/s, down {down} MB/s", flush=True)
     out = {"date": "2026-08-21", "device": jax.devices()[0].device_kind,
            "model": "mobilenet_v2_224", "buckets": BUCKETS,
            "batch_timeout_ms": 2.0, "duration_s": DURATION_S,
+           "host_to_device_MBps": up, "device_to_host_MBps": down,
            "open_loop": [], "closed_loop": None}
     for rate in RATES:
         row = open_loop(srv, rate, DURATION_S, sample)
