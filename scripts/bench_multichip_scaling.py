@@ -9,11 +9,11 @@ demonstrate, and what this script measures, is that the batch-sharded
 program does not SERIALIZE or duplicate work:
 
   - strong scaling, fixed global batch: the same forward is run unsharded
-    on 1 device and batch-sharded over 2/4/8 virtual devices.  If the
-    sharded program introduced hidden cross-device sync, replication, or
-    resharding copies, its wall-clock would EXCEED the 1-device run; if
-    the sharding is clean, time improves up to the core count (~2x here)
-    and stays flat - never worse - beyond it.
+    on 1 device and batch-sharded over 2/4/8 virtual devices.  The
+    1-device baseline already saturates both cores via XLA CPU intra-op
+    threading, so the ideal curve is FLAT (~1.0x); if the sharded program
+    introduced hidden cross-device sync, replication, or resharding
+    copies, its wall-clock would fall well below 1.0x of the baseline.
 
 The committed artifact (MULTICHIP_SCALING.json) reports time ratios vs
 the 1-device run with that 2-core ceiling stated.  Real-chip scaling
@@ -88,11 +88,12 @@ def main():
             "date": "2026-08-21",
             "mode": ("strong scaling, fixed global batch, virtual CPU mesh "
                      "(XLA host devices time-sliced onto the physical "
-                     "cores).  Demonstrates the batch sharding does not "
-                     "serialize or replicate work - NOT real-chip rates: "
-                     "ideal speedup here is min(n_devices, host_cores) and "
-                     "flat beyond, and any sharding-induced overhead would "
-                     "show as speedup < 1.0"),
+                     "cores).  The 1-device baseline already uses every "
+                     "core via XLA CPU intra-op threading, so the ideal "
+                     "curve is FLAT (~1.0x); the experiment's signal is "
+                     "the absence of sharding-induced overhead (a program "
+                     "that serialized or replicated work would fall well "
+                     "below 1.0).  NOT real-chip rates."),
             "host_cores": os.cpu_count(),
             "model": f"mobilenet_v2_{SIZE}",
             "global_batch": GLOBAL_BATCH,
