@@ -28,6 +28,16 @@ Design (no indirection buffers, no pointer tables - SURVEY.md 7.1):
 The kernel-zero-point algebra: acc = sum_t A'_t * (W'_t - zw') + bias_fold,
 where bias_fold = bias - za' * sum(W' - zw') equals the packed bias produced
 by nn.conv.pack_conv_weights (same identity as pack.h:24-43).
+
+STATUS (2026-08-21, BENCH_DWCONV_B128.json): routed ONLY in its measured
+win window - strided, h*w >= 8192, batch <= 32 (nn/conv.py:162-187, 5-9x
+over XLA's strided lowering there).  At batch 128 it loses 3-9x to XLA at
+every MobileNetV2 shape (e.g. 3452 us vs 742 at 128x56x56x144): the int32
+VPU MAC loop is compute-bound (~1.04G lane-ops at that shape vs ~963G
+lane-ops/s VPU) before the host-side phase/halo relayout is even counted.
+The same study retires the MXU-diagonal alternative (modeled tie at best,
+4x pad waste below 128 channels) - the b128 dwconv regime is structurally
+XLA's.
 """
 
 from __future__ import annotations
