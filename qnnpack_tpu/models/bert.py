@@ -25,7 +25,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..nn.elementwise import build_softargmax_lut, u8softargmax
+from ..nn.elementwise import (build_softargmax_lut,
+                              build_softargmax_lut_factored, u8softargmax)
 from ..nn.gemm import q8bmm, q8gemm
 from ..nn.packing import pack_gemm_weights
 from ..nn.requant_dispatch import make_requant_params
@@ -88,9 +89,15 @@ def build_bert_encoder(rng: np.random.Generator, cfg: BertConfig | None = None):
             cfg.requant, float(np.float32((1.0 / 256.0) * ACT_SCALE
                                           / ACT_SCALE)), ACT_ZP),
         "add": compute_add_quant_params(ACT_ZP, ACT_ZP, ACT_ZP, 1.0, 1.0),
-        "softargmax_lut": jnp.asarray(
-            build_softargmax_lut(ACT_SCALE, cfg.seq_len)),
     }
+    lut, f16, g16, corr = build_softargmax_lut_factored(ACT_SCALE,
+                                                        cfg.seq_len)
+    spec["softargmax_lut"] = jnp.asarray(lut)
+    # Factored 16x16 lookup (8x cheaper, bit-identical - see the builder);
+    # None when the factorization declined, in which case the forward
+    # falls back to the plain one-hot path.
+    spec["softargmax_fac"] = (None if f16 is None
+                              else (jnp.asarray(f16), jnp.asarray(g16), corr))
     return params, spec
 
 
@@ -110,7 +117,8 @@ def bert_encoder_forward(params, spec, x_u8):
         v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))  # [B, nh, S, dh]
 
         scores = q8bmm(q, k, ACT_ZP, ACT_ZP, spec["rp_scores"])  # [B,nh,S,S]
-        probs = u8softargmax(scores, spec["softargmax_lut"])     # scale 1/256
+        probs = u8softargmax(scores, spec["softargmax_lut"],     # scale 1/256
+                             factored=spec.get("softargmax_fac"))
         ctx = q8bmm(probs, v, 0, ACT_ZP, spec["rp_ctx"])         # [B,nh,S,dh]
         ctx = jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b * s, h)
 

@@ -89,17 +89,79 @@ def x8lut(x_u8, lut):
     return _lut256(jnp.asarray(lut, jnp.uint8), x_u8)
 
 
-def u8softargmax(x_u8, lut_u32):
+def build_softargmax_lut_factored(input_scale: float, channels: int):
+    """Factor the 256-entry exp LUT into two 16-entry f32 tables plus a
+    sparse exact-correction list - an 8x cheaper device lookup.
+
+    The table is geometric up to rounding: t[16h + l] = rint(qscale *
+    exp((16h - 255)s) * exp(l s)) ~= rint(F[h] * G[l]).  The device
+    computes rint_f32(F[hi] * G[lo]) with two 16-wide one-hot dots (32
+    lane-ops/element vs 256 for the full one-hot) and adds the exact
+    integer correction D[i] = t[i] - rint_f32(F[h] * G[l]) for the few
+    indices where f32 product rounding disagrees with the f64 table build.
+    f32 multiply and rint are IEEE-deterministic across numpy and the TPU
+    VPU, so D computed here equals the device's residual exactly and the
+    result is bit-identical to the plain LUT path.
+
+    Returns (lut_u32, F, G, corrections) where corrections is a static
+    tuple of (index, delta); or (lut_u32, None, None, None) when the
+    factorization is unprofitable (many corrections) or risks subnormal
+    f32 products (TPU flushes subnormals, numpy does not).
+    """
+    t = build_softargmax_lut(input_scale, channels)
+    s = float(input_scale)
+    qscale = min(float(np.iinfo(np.uint32).max) / float(channels), 8388607.0)
+    h = np.arange(16, dtype=np.float64)
+    F = (qscale * np.exp((16.0 * h - 255.0) * s)).astype(np.float32)
+    G = np.exp(h * s).astype(np.float32)
+    if float(F.min()) < 1e-30:  # subnormal-product risk: TPU flushes them
+        return t, None, None, None
+    pred = np.rint(F[:, None] * G[None, :]).astype(np.int64).ravel()
+    d = t.astype(np.int64) - pred
+    nz = np.nonzero(d)[0]
+    if len(nz) > 24 or (len(nz) and np.abs(d[nz]).max() > 3):
+        return t, None, None, None
+    corr = tuple((int(i), int(d[i])) for i in nz)
+    return t, F, G, corr
+
+
+def _lut_factored(idx_i32, F, G, corrections):
+    """e = rint_f32(F[idx >> 4] * G[idx & 15]) + sparse corrections; bit-
+    identical to _lut256 over the full table (see the builder)."""
+    hi = idx_i32 >> 4
+    lo = idx_i32 & 15
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    dims = (((idx_i32.ndim,), (0,)), ((), ()))
+    oh = (hi[..., None] == r16).astype(jnp.float32)
+    ol = (lo[..., None] == r16).astype(jnp.float32)
+    fv = jax.lax.dot_general(oh, jnp.asarray(F)[:, None], dims,
+                             preferred_element_type=jnp.float32)[..., 0]
+    gv = jax.lax.dot_general(ol, jnp.asarray(G)[:, None], dims,
+                             preferred_element_type=jnp.float32)[..., 0]
+    e = jnp.rint(fv * gv).astype(jnp.int32)
+    for i, delta in corrections:
+        e = e + jnp.int32(delta) * (idx_i32 == i).astype(jnp.int32)
+    return e.astype(jnp.uint32)
+
+
+def u8softargmax(x_u8, lut_u32, factored=None):
     """Quantized softmax over the last axis (compute_u8softargmax,
     operator-run.c:625-637 + u8lut32norm/scalar.c).
 
     Per row: m = max(x); e[i] = t[x[i] + 255 - m] (numerically-stable offset,
     the reference's `t + (rmax ^ 255)` table shift); sum = sum e;
-    y[i] = min((e[i] * 256 + sum/2) / sum, 255)."""
+    y[i] = min((e[i] * 256 + sum/2) / sum, 255).
+
+    `factored`: optional (F, G, corrections) from
+    build_softargmax_lut_factored - the 8x cheaper exact lookup."""
     x = jnp.asarray(x_u8, jnp.uint8).astype(jnp.int32)
     t = jnp.asarray(lut_u32, jnp.uint32)
     rmax = jnp.max(x, axis=-1, keepdims=True)
-    e = _lut256(t, (x + (255 - rmax)).astype(jnp.uint8))
+    idx = x + (255 - rmax)
+    if factored is not None and factored[0] is not None:
+        e = _lut_factored(idx, *factored)
+    else:
+        e = _lut256(t, idx.astype(jnp.uint8))
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.uint32)
     # C uint32 wrap-around semantics preserved: all ops stay in uint32.
     q = (e * jnp.uint32(256) + (s >> 1)) // s

@@ -162,10 +162,16 @@ class SoftArgMax(Operator):
                         f"{output_zero_point} output zero point: only output "
                         f"zero point of 0 is supported (softargmax.c:65-70)")
         self.channels = int(channels)
-        self.lut = jnp.asarray(build_softargmax_lut(input_scale, channels))
+        from ..nn.elementwise import build_softargmax_lut_factored
+        lut, f16, g16, corr = build_softargmax_lut_factored(input_scale,
+                                                            channels)
+        self.lut = jnp.asarray(lut)
+        self.fac = (None if f16 is None
+                    else (jnp.asarray(f16), jnp.asarray(g16), corr))
 
     def _make_jitted(self):
-        fn = jax.jit(u8softargmax)
+        fac = self.fac
+        fn = jax.jit(lambda x, lut: u8softargmax(x, lut, factored=fac))
         return lambda x: fn(x, self.lut)
 
 

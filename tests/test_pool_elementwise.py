@@ -142,3 +142,45 @@ class TestChannelShuffle:
         once = np.asarray(x8zip(jnp.asarray(x), 3))
         back = np.asarray(x8zip(jnp.asarray(once), 4))
         np.testing.assert_array_equal(back, x)
+
+
+class TestSoftargmaxFactored:
+    """The 16x16 factored exp-LUT lookup must be bit-identical to the
+    plain 256-entry path (nn/elementwise.py build_softargmax_lut_factored:
+    f32 multiply + rint are IEEE-deterministic across numpy and the VPU,
+    and the sparse correction list absorbs every rounding disagreement)."""
+
+    @pytest.mark.parametrize("scale,channels", [
+        (0.05, 128), (0.1, 1000), (0.5, 32), (0.01, 64), (0.2, 256),
+    ])
+    def test_matches_plain_path(self, scale, channels):
+        from qnnpack_tpu.nn.elementwise import build_softargmax_lut_factored
+        lut, f16, g16, corr = build_softargmax_lut_factored(scale, channels)
+        if f16 is None:
+            pytest.skip("factorization declined for this scale")
+        fac = (jnp.asarray(f16), jnp.asarray(g16), corr)
+        x = rand_u8(7, channels)
+        want = np.asarray(u8softargmax(jnp.asarray(x), lut))
+        got = np.asarray(u8softargmax(jnp.asarray(x), lut, factored=fac))
+        np.testing.assert_array_equal(got, want)
+
+    def test_all_256_indices_exact(self):
+        # Every possible table index must reconstruct exactly: a row
+        # containing 255 forces offsets spanning the full table.
+        from qnnpack_tpu.nn.elementwise import (_lut256, _lut_factored,
+                                                build_softargmax_lut_factored)
+        lut, f16, g16, corr = build_softargmax_lut_factored(0.05, 128)
+        assert f16 is not None
+        idx = jnp.arange(256, dtype=jnp.int32)
+        want = np.asarray(_lut256(jnp.asarray(lut, jnp.uint32),
+                                  idx.astype(jnp.uint8)))
+        got = np.asarray(_lut_factored(idx, jnp.asarray(f16),
+                                       jnp.asarray(g16), corr))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, np.asarray(lut, np.uint32))
+
+    def test_bert_spec_carries_factorization(self):
+        from qnnpack_tpu.models.bert import BertConfig, build_bert_encoder
+        rng = np.random.default_rng(0)
+        _, spec = build_bert_encoder(rng, BertConfig(layers=1, seq_len=128))
+        assert spec["softargmax_fac"] is not None
