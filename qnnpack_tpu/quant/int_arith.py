@@ -165,3 +165,37 @@ def abs_u32(x):
     x = jnp.asarray(x, jnp.int32)
     xu = u32(x)
     return jnp.where(x >= 0, xu, neg_u32(xu))
+
+
+def u32_barrett_magic(s):
+    """m = floor(2^32 / s) for uint32 s >= 1, without 64-bit arithmetic.
+
+    floor(2^32/s) = floor((2^32-1)/s) + [s divides 2^32].  One hardware
+    division per element of `s` - intended for per-ROW divisors (softmax
+    sums), where the cost amortizes over the row.
+    """
+    s = jnp.asarray(s, jnp.uint32)
+    q = jnp.uint32(0xFFFFFFFF) // s
+    r = jnp.uint32(0xFFFFFFFF) - q * s
+    return q + (r == s - 1).astype(jnp.uint32)
+
+
+def u32_div_floor(n, s, m):
+    """Exact floor(n / s) for uint32 n with precomputed m = barrett magic.
+
+    Barrett reduction: q0 = mulhi(n, m) underestimates the true quotient
+    by at most 2 (classic bound for m = floor(2^32/s), n < 2^32), so two
+    conditional correction steps make it exact.  ~20 VPU lane-ops per
+    element vs ~57 for the hardware u32 divide (measured v5e 2026-08-21,
+    BENCH_MODELS.json bert note) - the win when the divisor is shared
+    across a row.  Requires s >= 1.
+    """
+    n = jnp.asarray(n, jnp.uint32)
+    q0, _ = umul32_wide(n, m)          # hi word = floor(n*m / 2^32)
+    # d = n - q0*s is exact in uint32: 0 <= d < 3s and d <= n < 2^32.
+    d = n - q0 * s
+    c1 = (d >= s).astype(jnp.uint32)
+    d1 = d - s * c1
+    c2 = (d1 >= s).astype(jnp.uint32)
+    # s == 1 is the one divisor whose magic (2^32) does not fit uint32.
+    return jnp.where(s == 1, n, q0 + c1 + c2)

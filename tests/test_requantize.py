@@ -256,3 +256,31 @@ class TestJitCompatibility:
         np.testing.assert_array_equal(
             np.asarray(jit_fn(x)),
             np.asarray(requantize.requantize_q31(x, p)))
+
+
+class TestBarrettDivision:
+    """u32_div_floor must equal true uint32 floor division over the full
+    domain (it backs the softargmax normalization, nn/elementwise.py)."""
+
+    def test_exact_vs_uint64_division(self):
+        import jax.numpy as jnp
+        from qnnpack_tpu.quant.int_arith import (u32_barrett_magic,
+                                                 u32_div_floor)
+        rng = np.random.default_rng(7)
+        n = rng.integers(0, 1 << 32, 100000, dtype=np.uint64)
+        s = rng.integers(1, 1 << 32, 100000, dtype=np.uint64)
+        # near-multiples stress the correction steps; corner divisors
+        # stress the magic (s=1 overflows it and is special-cased).
+        k = rng.integers(0, 300, 20000).astype(np.uint64)
+        ss = rng.integers(1, 1 << 31, 20000, dtype=np.uint64)
+        prod = (k * ss) % (1 << 32)
+        n = np.concatenate([n, prod, (prod + 1) % (1 << 32),
+                            (prod - 1) % (1 << 32)])
+        s = np.concatenate([s] + [ss] * 3)
+        s[:12] = [1, 1, 2, 3, (1 << 32) - 1, 1 << 31, (1 << 31) + 1, 5,
+                  255, 256, 7, 1 << 24]
+        want = (n // s).astype(np.uint32)
+        nu = jnp.asarray(n.astype(np.uint32))
+        su = jnp.asarray(s.astype(np.uint32))
+        got = np.asarray(u32_div_floor(nu, su, u32_barrett_magic(su)))
+        np.testing.assert_array_equal(got, want)
