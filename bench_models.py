@@ -29,7 +29,7 @@ from qnnpack_tpu.models import (bert_encoder_forward, build_bert_encoder,  # noq
                                 build_mobilenet_v2, enet_seg, graph_forward,
                                 mobilenet_v1, mobilenet_v2_forward, resnet18,
                                 resnet50, shufflenet_v1, shufflenet_v2,
-                                squeezenet_v11, vgg16)
+                                squeezenet_v10, squeezenet_v11, vgg16)
 from qnnpack_tpu.models.bert import BertConfig  # noqa: E402
 from qnnpack_tpu.utils.timing import measure_loop  # noqa: E402
 
@@ -106,11 +106,23 @@ def _roofline_ms(spec, batch, in_shape, tops, gbps):
     return max(t_compute, t_memory) * 1e3, bound
 
 
+# The full reference benchmark table (bench/convolution.cc:944-962
+# registers 16 model configs) plus the segmentation and BERT stretch
+# configs.  `--models` selects subsets; the committed BENCH_MODELS.json
+# carries every row.
 MODELS = {
     "mobilenet_v1": _graph_model(mobilenet_v1, 224),
     "mobilenet_v2": _mobilenet_v2,
+    "shufflenet_v1_g1": _graph_model(shufflenet_v1, 224, groups=1),
+    "shufflenet_v1_g2": _graph_model(shufflenet_v1, 224, groups=2),
     "shufflenet_v1_g3": _graph_model(shufflenet_v1, 224, groups=3),
+    "shufflenet_v1_g4": _graph_model(shufflenet_v1, 224, groups=4),
+    "shufflenet_v1_g8": _graph_model(shufflenet_v1, 224, groups=8),
+    "shufflenet_v2_x05": _graph_model(shufflenet_v2, 224, width=0.5),
     "shufflenet_v2_x1": _graph_model(shufflenet_v2, 224, width=1.0),
+    "shufflenet_v2_x15": _graph_model(shufflenet_v2, 224, width=1.5),
+    "shufflenet_v2_x2": _graph_model(shufflenet_v2, 224, width=2.0),
+    "squeezenet_v10": _graph_model(squeezenet_v10, 224),
     "squeezenet_v11": _graph_model(squeezenet_v11, 224),
     "resnet18": _graph_model(resnet18, 224),
     "resnet50": _graph_model(resnet50, 224),

@@ -14,5 +14,5 @@ from .mobilenet_v2 import (  # noqa: F401
 )
 from .zoo import (  # noqa: F401
     mobilenet_v1, resnet18, resnet50, shufflenet_v1, shufflenet_v2,
-    squeezenet_v11, vgg16,
+    squeezenet_v10, squeezenet_v11, vgg16,
 )

@@ -75,6 +75,31 @@ def squeezenet_v11(rng: np.random.Generator, *, num_classes: int = 1000,
     return g.finish(name="squeezenet_v11", input_size=224)
 
 
+def squeezenet_v10(rng: np.random.Generator, *, num_classes: int = 1000,
+                   requant: str = "fp32"):
+    """SqueezeNet 1.0 (bench/convolution.cc:539): 7x7/96 stem and the
+    original fire/pool placement (pools after fire4 and fire8, v1.1 moves
+    them earlier and uses a 3x3/64 stem)."""
+    g = GraphBuilder(rng, requant)
+    c = g.conv("conv1", 3, 96, kernel=(7, 7), strides=(2, 2),
+               padding=((2, 3), (2, 3)), act="relu")
+    g.maxpool("pool1", (3, 3), (2, 2), ((0, 0), (0, 0)))
+    c = _fire(g, 2, c, 16, 64, 64)
+    c = _fire(g, 3, c, 16, 64, 64)
+    c = _fire(g, 4, c, 32, 128, 128)
+    g.maxpool("pool4", (3, 3), (2, 2), ((0, 0), (0, 0)))
+    c = _fire(g, 5, c, 32, 128, 128)
+    c = _fire(g, 6, c, 48, 192, 192)
+    c = _fire(g, 7, c, 48, 192, 192)
+    c = _fire(g, 8, c, 64, 256, 256)
+    g.maxpool("pool8", (3, 3), (2, 2), ((0, 0), (0, 0)))
+    c = _fire(g, 9, c, 64, 256, 256)
+    c = g.conv("conv10", c, num_classes, kernel=(1, 1),
+               padding=((0, 0), (0, 0)), act="relu")
+    g.gap("gap", 13)
+    return g.finish(name="squeezenet_v10", input_size=224)
+
+
 def _basic_block(g, name, cin, cout, stride):
     """ResNet basic block: two 3x3 convs + shortcut."""
     if stride != 1 or cin != cout:
