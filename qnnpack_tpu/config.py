@@ -59,6 +59,15 @@ class TuneParams:
     pallas_small_fat_n: int = 2048
     pallas_small_max_m_mid_n: int = 4096
     small_tile_m: int = 1024
+    # Grouped 1x1 conv lowering: block-diagonal dot_general (group axis as
+    # a batch dim) vs XLA's feature_group_count conv.  Measured on v5e
+    # (2026-08-21, BENCH_MODELS.json shufflenet_v1 rows): the dot_general
+    # form wins ~2x at batch 1 (g3 b1 0.579 -> 0.320 ms e2e) but loses
+    # 15-23% at batch 128 (g3 b128 32,868 -> 25,348 img/s; the
+    # batch-dim transpose it needs stops fusing with neighbors at large
+    # batch).  Routed for batch <= this threshold; crossover between 32
+    # and 128 not yet mapped - 32 mirrors the dwconv rule's measured gate.
+    grouped_1x1_einsum_max_batch: int = 32
     # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
     # large spatial sizes and small batch (measured 5-9x slower than the
     # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins

@@ -113,6 +113,15 @@ def _pad_input(a, padding, value: int):
                    constant_values=value)
 
 
+def _grouped_1x1_einsum(batch: int) -> bool:
+    """Measured batch gate for the block-diag grouped-1x1 lowering (see
+    q8conv2d_acc).  Applied on every backend, so CPU tests cover the
+    einsum branch at small batch and the grouped-conv branch above the
+    threshold (test_conv.py 1x1_g2_b_above_gate)."""
+    from ..config import tune_params
+    return batch <= tune_params().grouped_1x1_einsum_max_batch
+
+
 def _window_sums(a_pad_i32, packed: PackedConvWeights, strides, dilation,
                  lhs_dilation=(1, 1)):
     """Per-group window sums of the (padded, biased) input: S_A [B,Ho,Wo,G]."""
@@ -138,6 +147,31 @@ def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
     `lhs_dilation` > 1 realizes transposed convolution (deconv)."""
     a = u8_to_biased_i8(a_u8)  # NHWC int8
     a_pad = _pad_input(a, padding, packed.izp_biased)
+
+    if (packed.kernel_height == 1 and packed.kernel_width == 1
+            and packed.groups > 1 and packed.group_input_channels > 1
+            and strides == (1, 1) and lhs_dilation == (1, 1)
+            and _grouped_1x1_einsum(a_u8.shape[0])):
+        # Grouped 1x1 (the ShuffleNet group-conv shape): a block-diagonal
+        # batched matmul - the group axis becomes a dot_general batch dim,
+        # so each group's [*, cg] x [cg, og] block rides the MXU directly.
+        # Measured e2e (BENCH_MODELS.json shufflenet_v1 rows): ~2x at
+        # batch 1, but 15-23% WORSE at batch 128, so the route is gated on
+        # batch (config.TuneParams.grouped_1x1_einsum_max_batch).
+        bsz, hp, wp, _ = a_pad.shape
+        g = packed.groups
+        cg = packed.group_input_channels
+        og = packed.group_output_channels
+        vg = a_pad.reshape(bsz, hp, wp, g, cg)
+        wg = jnp.transpose(packed.w.reshape(cg, g, og), (1, 0, 2))
+        acc = lax.dot_general(vg, wg, (((4,), (1,)), ((3,), (0,))),
+                              preferred_element_type=jnp.int32)
+        acc = jnp.moveaxis(acc, 0, 3)  # [B, H, W, G, og]
+        if packed.kzp_biased != 0:
+            rs = jnp.sum(vg.astype(jnp.int32), axis=-1, keepdims=True)
+            acc = acc - jnp.int32(packed.kzp_biased) * rs
+        acc = acc.reshape(bsz, hp, wp, g * og)
+        return acc + packed.bias_folded[None, None, None, :]
 
     acc = lax.conv_general_dilated(
         a_pad, packed.w,

@@ -35,6 +35,15 @@ CONV_CASES = [
     # (b, h, w, c, o, kh, kw, groups, strides, padding, dilation)
     ("1x1", 2, 7, 9, 16, 24, 1, 1, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
     ("1x1_grouped", 1, 5, 5, 16, 16, 1, 1, 4, (1, 1), ((0, 0), (0, 0)), (1, 1)),
+    # The next three pin the block-diag dot_general lowering of grouped
+    # 1x1 (nn/conv.py q8conv2d_acc): g8, uneven og, and zero-point padding
+    # flowing through the einsum path.
+    ("1x1_g8", 2, 4, 6, 32, 48, 1, 1, 8, (1, 1), ((0, 0), (0, 0)), (1, 1)),
+    ("1x1_g2_pad", 1, 5, 5, 6, 10, 1, 1, 2, (1, 1), ((1, 0), (0, 1)), (1, 1)),
+    ("1x1_g3_stride", 1, 7, 7, 9, 12, 1, 1, 3, (2, 2), ((0, 0), (0, 0)), (1, 1)),
+    # Batch above the einsum gate (32): exercises the grouped-conv branch.
+    ("1x1_g2_b_above_gate", 33, 2, 3, 8, 8, 1, 1, 2, (1, 1),
+     ((0, 0), (0, 0)), (1, 1)),
     ("3x3", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (1, 1)),
     ("3x3_nopad", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
     ("3x3_stride2", 1, 9, 9, 8, 16, 3, 3, 1, (2, 2), ((1, 1), (1, 1)), (1, 1)),
