@@ -6,11 +6,14 @@ Reproduces the reference's headline workload (quantized MobileNet v2
 variant and q8gemm microkernel rows (bench/q8gemm.cc analogue, GOPS =
 2*M*N*K / iteration time).
 
-Measurement method: qnnpack_tpu.utils.timing.measure_loop - median-of-K
-fixed-N jitted loops with the per-dispatch overhead measured directly and
-subtracted (replaces the round-1/2 two-point slope method, which produced
-negative GOPS at small shapes; see BENCH_NOTES.md).  Every row carries a
-`*_disp` dispersion stat ((max-min)/median over the K samples).
+Measurement method: qnnpack_tpu.utils.timing.measure_loop - the two-point
+scan method: the workload runs inside jitted lax.scan loops of n and 2n
+iterations and per-iteration time is (median t(2n) - median t(n)) / n,
+which cancels both the per-dispatch overhead and the ~25 ms fixed
+per-execution cost of scan programs on this backend, with n sized so the
+difference clears the measured noise floor (harness fix #3, BENCH_NOTES.md).
+Every row carries a `*_disp` dispersion stat (summed loop spreads over the
+differenced delta).
 
 Device capability rows (`cap_*`) measure the SAME-DAY attainable peaks
 (bf16 matmul, int8 dot, HBM copy) so GOPS rows can be read as a fraction of

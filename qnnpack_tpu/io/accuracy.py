@@ -40,6 +40,10 @@ def margin_stats(logits_u8) -> dict:
     regression shrinks margins (and shows up here) long before any argmax
     flips.  Reported as min / p10 / median over rows."""
     a = np.asarray(logits_u8).astype(np.int32)
+    if a.shape[-1] < 2:
+        raise ValueError(
+            f"margin_stats needs >= 2 channels, got {a.shape[-1]} "
+            "(a top-1 margin is undefined for single-class logits)")
     part = np.partition(a, a.shape[-1] - 2, axis=-1)
     margins = part[..., -1] - part[..., -2]
     return {"min": int(margins.min()),

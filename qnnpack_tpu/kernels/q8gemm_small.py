@@ -21,9 +21,9 @@ floor that caps EVERY isolated row of this class: measured-minus-roofline
 is a consistent ~3-4 us per executed program (128x768x768: 3.88 us vs
 1.21 roofline; 12544x96x24: 5.32 vs 2.30) - the per-program execution
 overhead, not kernel inefficiency; inside a jitted model forward the same
-layers run without it, which is why MobileNetV2 b128 e2e attains 88.5% of
-its summed roofline (BENCH_MODELS.json) while its isolated 1x1 rows show
-"39%".
+layers run without it, which is why MobileNetV2 b128 e2e attains 89.0% of
+its summed roofline (BENCH_MODELS.json, re-measured clean-dispersion row)
+while its isolated 1x1 rows show "39%".
 
 Shape of the attack (everything here is HBM-bound, so the kernel is a
 single-pass streaming design):
@@ -67,6 +67,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..nn.packing import PackedGemmWeights, pad_to_multiple, round_up
 from ..nn.requant_dispatch import apply_requant
 from ..quant.params import PerChannelFP32Params
+
+# VMEM working-set budget (bytes) shared by the router eligibility check and
+# the in-kernel tile_m sizing loop (v5e has ~16 MB VMEM; 12 leaves headroom
+# for Mosaic's own buffers).
+VMEM_BUDGET_BYTES = 12 * 2**20
+
+
+def small_gemm_fits_vmem(k: int, n: int, budget: int | None = None) -> bool:
+    """True iff the MINIMUM working set fits: W [K, N] whole plus the
+    smallest legal (tile_m = 32) A/acc/out/bias/scale slabs.  The tile_m
+    halving loop below bottoms out at 32, so a shape that fails this check
+    cannot compile at any tile size (e.g. a vocab-style FC 512x768x30522:
+    K*N alone is ~22 MB) and must stay on the XLA path - gemm_path calls
+    this before routing here."""
+    if budget is None:
+        budget = VMEM_BUDGET_BYTES
+    kp, np_ = round_up(k, 128), round_up(n, 128)
+    return kp * np_ + 32 * (kp + 5 * np_) <= budget
 
 
 def _rebias(a_u8):
@@ -124,10 +142,16 @@ def q8gemm_small_pallas(a_u8, packed: PackedGemmWeights, rparams, *,
     assert k == packed.k, f"K mismatch: activations {k} vs packed {packed.k}"
     n = packed.n
 
+    if not small_gemm_fits_vmem(k, n):
+        # Defensive fallback (gemm_path already refuses these shapes): the
+        # whole-W-resident design cannot fit VMEM at any tile_m.
+        from ..nn.gemm import q8gemm
+        return q8gemm(a_u8, packed, rparams)
+
     kp = round_up(k, 128)
     np_ = round_up(n, 128)
     # Halve tile_m while the VMEM working-set estimate exceeds the budget.
-    while tile_m > 32 and tile_m * (kp + 5 * np_) + kp * np_ > 12 * 2**20:
+    while tile_m > 32 and tile_m * (kp + 5 * np_) + kp * np_ > VMEM_BUDGET_BYTES:
         tile_m //= 2
     # Balance the grid: the naive min(tile_m, round_up(m, 32)) pads the
     # last tile by up to tile_m - 32 rows (M = 3136 with tile 1024 would

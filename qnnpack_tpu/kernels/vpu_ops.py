@@ -11,13 +11,18 @@ elementwise chains well - these kernels exist for the cases where the op IS
 the whole dispatch (the reference's standalone add/clamp operators) so the
 quantization epilogue and the load/store run in one VMEM pass.
 
-The x8lut / u8lut32norm families deliberately have NO Pallas variant: TPU's
-vector unit has no per-lane byte gather, so a 256-entry table map is best
-served by XLA's native gather lowering of `jnp.take` (nn/elementwise.py);
-an in-kernel one-hot-matmul emulation costs 512 MXU MACs and a 256x one-hot
-expansion per byte - strictly worse than the fused gather on both FLOPs and
-VMEM.  This is the same hardware-driven call the reference makes in the
-opposite direction (a LUT beats vector exp on NEON, sigmoid.c:90-110).
+The x8lut / u8lut32norm families have no Pallas variant for a structural
+reason: LUT application is a lowering choice, not a kernel, and the
+measured-best lowering is plain XLA dots that fuse with their neighbors.
+`jnp.take`'s gather lowers to a serialized dynamic-slice loop on this
+backend (1618 us for a [1,12,128,128] lookup, v5e 2026-08-21) while the
+identical math as onehot(x) @ table runs in 104 us - a 15.6x win - and the
+softargmax exp table further factors into two 16-entry exact lookups
+(nn/elementwise.py _lut256 / build_softargmax_lut_factored, both committed
+in BENCH_MODELS.json's bert note).  Wrapping those dots in a pallas_call
+would only detach them from the surrounding XLA fusion; the reference
+makes the mirrored hardware-driven call (a LUT beats vector exp on NEON,
+sigmoid.c:90-110).
 
 STATUS (measured 2026-08-21, BENCH_KERNEL_ROUTING.json): bench-only, not
 dispatched.  XLA's fused elementwise lowering wins every measured shape by

@@ -29,7 +29,13 @@ def _lut256(table, x_u8):
     rows sum to exactly 1, so the bias adds back as +128).  uint32 tables
     (softargmax exp LUT) use an f32 matmul: every entry is an integer
     <= 2^23 (qscale cap, softargmax.c:86-91), and 0/1 one-hot rows select a
-    single f32-exact term, so the product is exact; guarded by an assert.
+    single f32-exact term, so the product is exact - PROVIDED the dot runs
+    at true f32 precision.  The TPU backend's DEFAULT matmul precision for
+    f32 operands is reduced-precision bf16 passes whose 8-bit mantissa
+    cannot hold 2^23-scale integers, so the f32 dots pin
+    precision=HIGHEST explicitly (exact for 0/1 one-hot selection);
+    bit-exactness over all 256 indices is pinned on-chip by
+    tests/test_onhw_smoke.py::test_lut_onehot_bit_exact.
     """
     idx = jnp.asarray(x_u8, jnp.uint8).astype(jnp.int32)
     onehot_dims = (((idx.ndim,), (0,)), ((), ()))
@@ -46,7 +52,8 @@ def _lut256(table, x_u8):
     oh = (idx[..., None]
           == jnp.arange(256, dtype=jnp.int32)).astype(jnp.float32)
     acc = jax.lax.dot_general(oh, lt[:, None], onehot_dims,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     return acc[..., 0].astype(jnp.uint32)
 
 
@@ -127,7 +134,10 @@ def build_softargmax_lut_factored(input_scale: float, channels: int):
 
 def _lut_factored(idx_i32, F, G, corrections):
     """e = rint_f32(F[idx >> 4] * G[idx & 15]) + sparse corrections; bit-
-    identical to _lut256 over the full table (see the builder)."""
+    identical to _lut256 over the full table (see the builder).  The f32
+    one-hot dots pin precision=HIGHEST: the host-computed correction deltas
+    assume exact f32 selection, and the backend's default f32 matmul
+    precision is reduced (bf16 passes)."""
     hi = idx_i32 >> 4
     lo = idx_i32 & 15
     r16 = jnp.arange(16, dtype=jnp.int32)
@@ -135,9 +145,11 @@ def _lut_factored(idx_i32, F, G, corrections):
     oh = (hi[..., None] == r16).astype(jnp.float32)
     ol = (lo[..., None] == r16).astype(jnp.float32)
     fv = jax.lax.dot_general(oh, jnp.asarray(F)[:, None], dims,
-                             preferred_element_type=jnp.float32)[..., 0]
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)[..., 0]
     gv = jax.lax.dot_general(ol, jnp.asarray(G)[:, None], dims,
-                             preferred_element_type=jnp.float32)[..., 0]
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)[..., 0]
     e = jnp.rint(fv * gv).astype(jnp.int32)
     for i, delta in corrections:
         e = e + jnp.int32(delta) * (idx_i32 == i).astype(jnp.int32)

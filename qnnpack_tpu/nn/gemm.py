@@ -92,7 +92,9 @@ def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
     Small-shape Pallas (kernels/q8gemm_small.py) iff the large window did
     not hit AND pallas_small_gemm is enabled for this generation AND the
     measured fat-N win region applies: K <= 1536 AND N >= 1280 AND
-    M >= 512 AND (N >= 2048 OR M <= 4096).  Measured v5e
+    M >= 512 AND (N >= 2048 OR M <= 4096) AND the kernel's minimum VMEM
+    working set fits (kernels.q8gemm_small.small_gemm_fits_vmem - the
+    whole-W-resident design caps K*N).  Measured v5e
     (BENCH_GEMM_SMALL.json): +22% at 784x1280x320, +40..70% at
     {512,2048}x3072x768, tie at 6272x1280x320, XLA wins all N < 1280.
     XLA otherwise.
@@ -138,7 +140,14 @@ def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
             and n >= tp.pallas_small_min_n and m >= tp.pallas_small_min_m
             and (n >= tp.pallas_small_fat_n
                  or m <= tp.pallas_small_max_m_mid_n)):
-        return "pallas_small"
+        # VMEM feasibility: the small kernel keeps the whole W [K, N] (plus
+        # bias/scale rows and a tile_m x N int32 accumulator) resident, and
+        # its tile_m halving bottoms out at 32 - a vocab-style FC
+        # (e.g. 512 x 768 x 30522, K*N ~ 22 MB) passes every threshold
+        # above but cannot compile, so reject it here.
+        from ..kernels.q8gemm_small import small_gemm_fits_vmem
+        if small_gemm_fits_vmem(k, n):
+            return "pallas_small"
     return "xla"
 
 

@@ -99,6 +99,35 @@ class TestGemmPathRule:
         assert path(3136, 256, 256) == "xla"            # thin N: XLA wins
         assert path(128, 768, 768) == "xla"             # M below window
 
+    def test_small_gemm_vmem_guard(self):
+        # ADVICE r4 medium #1: a vocab-style FC (K <= 1536, N >= 2048,
+        # M >= 512 all pass the threshold rule) whose whole-W working set
+        # exceeds VMEM must NOT route to the small kernel - K*N ~ 22 MB
+        # cannot compile at any tile_m.
+        from qnnpack_tpu.kernels.q8gemm_small import small_gemm_fits_vmem
+        assert not small_gemm_fits_vmem(768, 30522)
+        assert small_gemm_fits_vmem(768, 3072)
+        w = np.zeros((30522, 768), np.uint8)
+        packed = pack_gemm_weights(w, None, 121, 103)
+        assert gemm_path((512, 768), packed, RP, backend="tpu",
+                         mode="auto", tune=V5E) == "xla"
+
+    def test_small_gemm_kernel_vmem_fallback(self, monkeypatch):
+        # The kernel's own defensive fallback (shape forced in by
+        # mode="always" or a stale tune table) must return the exact XLA
+        # result instead of failing to compile.  Budget is shrunk so a
+        # test-sized shape triggers the fallback branch.
+        from qnnpack_tpu.kernels import q8gemm_small as mod
+        # Odd shape -> guaranteed fresh jit trace under the patched budget.
+        a = RNG.integers(0, 256, size=(63, 130), dtype=np.int64).astype(
+            np.uint8)
+        w, packed = make_packed(n=257, k=130)
+        want = np.asarray(q8gemm(jnp.asarray(a), packed, RP))
+        monkeypatch.setattr(mod, "VMEM_BUDGET_BYTES", 1024)
+        got = np.asarray(mod.q8gemm_small_pallas(
+            jnp.asarray(a), packed, RP, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
     def test_tune_table_thresholds_are_consumed_types(self):
         # Every generation row must carry a valid threshold (int or None) -
         # the knob is read by gemm_path, so a bad type would break dispatch.

@@ -109,6 +109,37 @@ def test_pool_pallas_smoke():
     np.testing.assert_array_equal(np.asarray(got_g), np.asarray(want_g))
 
 
+def test_lut_onehot_bit_exact():
+    """All-256-index bit-exactness of the f32 one-hot LUT lowerings ON CHIP.
+
+    The u32 exp-table lookup (_lut256) and the factored 16x16 lookup
+    (_lut_factored) are exact only if their f32 dots run at true f32
+    precision; the TPU default is reduced (bf16 passes), so the dots pin
+    precision=HIGHEST (ADVICE r4 medium #2).  This test pins the guarantee
+    against JAX/XLA default-precision changes: every index of a
+    full-magnitude (2^23-scale) table, compared bit-for-bit to the numpy
+    table on the real lowering (the CPU tier's true-f32 dots cannot catch a
+    TPU-only precision regression)."""
+    from qnnpack_tpu.nn.elementwise import (_lut256, _lut_factored,
+                                            build_softargmax_lut,
+                                            build_softargmax_lut_factored)
+    idx = np.arange(256, dtype=np.uint8)
+    # channels=512 -> qscale = 2^23 cap: the largest-magnitude entries.
+    t, F, G, corr = build_softargmax_lut_factored(0.05, 512)
+    got = np.asarray(jax.jit(_lut256)(jnp.asarray(t), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, t[idx])
+    assert F is not None, "factorization expected profitable at this scale"
+    got_f = np.asarray(jax.jit(
+        lambda i: _lut_factored(i, F, G, corr))(
+            jnp.asarray(idx, jnp.int32)))
+    np.testing.assert_array_equal(got_f, t[idx])
+    # uint8-table path (int8 MXU dot): exact by integer arithmetic, but pin
+    # the on-chip lowering too.
+    t8 = RNG.integers(0, 256, (256,), dtype=np.uint8)
+    got8 = np.asarray(jax.jit(_lut256)(jnp.asarray(t8), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got8, t8[idx])
+
+
 def test_vpu_ops_pallas_smoke():
     """vadd + clamp + rmax: the VPU elementwise family, one compile each."""
     a = RNG.integers(0, 256, (3, 7, 501), dtype=np.uint8)
