@@ -111,10 +111,16 @@ def make_hybrid_mesh(n_model: int = 1, *, devices=None,
                 f"local chips of one host; the model axis must stay "
                 f"inside a host's ICI domain")
         per_host_data = n_local // n_model
+        # process_is_granule=True: this mesh's outer axis is HOST-granular
+        # by contract (dcn_mesh_shape counts processes), so the granule key
+        # must be process_index - the default slice_index granule would
+        # lump all hosts of one pod slice (or every virtual CPU host, which
+        # all report slice_index 0) into a single granule and fail.
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(per_host_data, n_model),
             dcn_mesh_shape=(jax.process_count(), 1),
-            devices=jax.devices())
+            devices=jax.devices(),
+            process_is_granule=True)
         return Mesh(grid, axis_names)
     devices = list(devices if devices is not None else jax.devices())
     if len(devices) % n_model:
