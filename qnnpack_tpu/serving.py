@@ -13,6 +13,16 @@ Components:
     step hits a cached jit executable, and fans results back out through
     futures.  Bucketing is the serving-time analogue of the reference's
     shape-keyed setup cache (SURVEY.md 3.3).
+  - Admission control / backpressure: the submit queue is bounded and
+    submit() REJECTS (ServerOverloadedError) instead of blocking when it
+    is full.  Without shedding, deep overload degrades throughput below
+    saturation - measured on the serving bench: 191.7 img/s achieved at
+    2k offered fell to 80.1 at 10k offered (BENCH_SERVING.json pre-fix
+    overload rows) because unbounded producer-side work starves the
+    dispatcher; with a bounded queue the dispatcher always drains at the
+    device's saturation rate and excess load fails fast with a clear
+    error, which is also what keeps worst-case latency bounded at
+    ~queue_depth / throughput.
   - HealthMonitor: heartbeat failure detection - a background probe runs a
     trivial device op each interval; a missed/slow/failed probe flips the
     server to unhealthy and fires a recovery callback (the multi-host
@@ -46,12 +56,21 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+class ServerOverloadedError(RuntimeError):
+    """submit() admission rejection: the bounded request queue is full.
+
+    Clients should shed the request or retry with backoff; this is the
+    explicit-status philosophy of the reference's qnnp_status codes
+    (include/qnnpack.h:24-32) applied to overload."""
+
+
 @dataclasses.dataclass
 class ServerStats:
     requests: int = 0
     batches: int = 0
     rows_computed: int = 0
     rows_useful: int = 0
+    rejected: int = 0  # admission-control rejections (queue full)
     # Sliding window: percentiles over the most recent max_latency_samples
     # completions, so a long-lived server's memory stays bounded.
     max_latency_samples: int = 65536
@@ -81,7 +100,7 @@ class InferenceServer:
     """
 
     def __init__(self, forward, sample_shape, *, max_batch: int = 64,
-                 buckets=None, max_queue: int = 4096,
+                 buckets=None, max_queue: int = 1024,
                  batch_timeout_s: float = 0.002):
         self._forward = forward
         self._sample_shape = tuple(sample_shape)
@@ -116,19 +135,40 @@ class InferenceServer:
         if self._started:
             self._thread.join(timeout=5.0)
 
-    def submit(self, x: np.ndarray) -> Future:
+    def submit(self, x: np.ndarray, *, block: bool = False) -> Future:
         """Enqueue one sample [..., sample_shape]; returns a Future of the
-        result row."""
+        result row.
+
+        Admission control (default): when the bounded queue is full the
+        request is REJECTED with ServerOverloadedError rather than queued
+        or blocked on - unbounded acceptance under deep overload measurably
+        degrades throughput below saturation (module docstring / pre-fix
+        BENCH_SERVING.json overload rows).  ``block=True`` opts into the
+        old producer-blocks behavior for closed-loop clients that prefer
+        throttling to errors."""
         if tuple(x.shape) != self._sample_shape:
             raise ValueError(
                 f"sample shape {x.shape} != expected {self._sample_shape}")
         fut: Future = Future()
-        self._queue.put((np.asarray(x), time.perf_counter(), fut))
+        item = (np.asarray(x), time.perf_counter(), fut)
+        try:
+            if block:
+                self._queue.put(item)
+            else:
+                self._queue.put_nowait(item)
+        except queue.Full:
+            with self._lock:
+                self.stats.rejected += 1
+            raise ServerOverloadedError(
+                f"request queue full ({self._queue.maxsize} pending); "
+                "shed or retry with backoff") from None
         return fut
 
     def infer(self, x: np.ndarray, timeout: float = 60.0):
-        """Blocking single-sample convenience wrapper."""
-        return self.submit(x).result(timeout=timeout)
+        """Blocking single-sample convenience wrapper (throttles rather
+        than rejects: a caller already blocking on the result wants
+        backpressure, not an error)."""
+        return self.submit(x, block=True).result(timeout=timeout)
 
     # -- dispatcher -------------------------------------------------------
     def _drain(self):

