@@ -138,6 +138,11 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--models", type=str, default=None,
                     help="comma-separated subset")
+    ap.add_argument("--update", action="store_true",
+                    help="merge the measured rows into the existing "
+                         "BENCH_MODELS.json instead of overwriting it "
+                         "(re-measured rows get their own same-session "
+                         "cap_* fields; notes are preserved)")
     args = ap.parse_args()
 
     names = (args.models.split(",") if args.models else list(MODELS))
@@ -179,12 +184,24 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_MODELS.json")
+    if args.update and os.path.exists(out):
+        with open(out) as f:
+            doc = json.load(f)
+        for name, row in rows.items():
+            # Re-measured rows carry their own same-session capability so
+            # their roofline %s stay tied to the probe they used.
+            row["cap_int8_tops"] = round(tops, 1)
+            row["cap_hbm_gbps"] = round(gbps, 0)
+            doc["models"][name] = row
+        doc["date"] = "2026-08-21"
+    else:
+        doc = {"device": jax.devices()[0].device_kind,
+               "date": "2026-08-21",
+               "cap_int8_tops": round(tops, 1),
+               "cap_hbm_gbps": round(gbps, 0),
+               "batch": args.batch, "models": rows}
     with open(out, "w") as f:
-        json.dump({"device": jax.devices()[0].device_kind,
-                   "date": "2026-08-21",
-                   "cap_int8_tops": round(tops, 1),
-                   "cap_hbm_gbps": round(gbps, 0),
-                   "batch": args.batch, "models": rows}, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(json.dumps({"metric": "model_sweep", "models": len(rows),
                       "file": out}))
 

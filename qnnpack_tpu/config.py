@@ -68,6 +68,17 @@ class TuneParams:
     # batch).  Routed for batch <= this threshold; crossover between 32
     # and 128 not yet mapped - 32 mirrors the dwconv rule's measured gate.
     grouped_1x1_einsum_max_batch: int = 32
+    # Pallas stem kernel (kernels/q8stem.py): stride-2 C_in <= 4 dense
+    # convs (every CNN stem in the model table).  STATUS 2026-08-21:
+    # RETIRED, False on every generation - six formulations measured or
+    # compile-probed in BENCH_STEM.json all lose to XLA's native lowering
+    # (per-tap Pallas 4-10x slower: Mosaic cannot assemble im2col lanes -
+    # strided lane slices and sub-128-lane concatenation fail to
+    # legalize).  The class's 32-44% of analytic roofline is the
+    # backend's practical frontier; routing discipline per
+    # src/init.c:69-84: no dispatch without a measured win.
+    conv_stem_pallas: bool = False
+    conv_stem_s2d_max_cin: int = 4
     # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
     # large spatial sizes and small batch (measured 5-9x slower than the
     # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins

@@ -29,7 +29,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..nn.conv import pack_conv_weights, q8conv2d, q8deconv2d
-from ..nn.elementwise import build_softargmax_lut, u8softargmax, x8zip
+from ..nn.elementwise import (build_softargmax_lut, u8softargmax, x8lut,
+                              x8zip)
 from ..nn.gemm import q8gemm
 from ..nn.packing import pack_gemm_weights
 from ..nn.pool import q8avgpool2d, q8gavgpool, u8maxpool2d
@@ -236,8 +237,11 @@ def graph_forward(params, spec: GraphSpec, x_u8):
                         constant_values=np.uint8(zp))
         elif tag == "lut":
             # Per-element byte map (x8lut): QUANTIZE rescales, sigmoid, ...
-            x = jnp.take(jnp.asarray(payload, jnp.uint8),
-                         x.astype(jnp.int32))
+            # Routed through the one-hot dot lowering (nn/elementwise
+            # ._lut256, 15.6x over jnp.take's serialized gather on v5e,
+            # BENCH_MODELS.json bert note) - this tag previously still used
+            # the retired jnp.take path.
+            x = x8lut(x, payload)
         elif tag == "softargmax":
             x = u8softargmax(x, payload)
         else:

@@ -138,6 +138,77 @@ def _window_sums(a_pad_i32, packed: PackedConvWeights, strides, dilation,
         padding="VALID")
 
 
+def _stem_space_to_depth(a_pad, packed: PackedConvWeights, izp: int):
+    """Stride-2 small-C_in conv -> stride-1 conv over 2x2-phase-packed
+    input: a_pad [B, H, W, C] and w [Kh, Kw, C, O] are reindexed so the
+    packed conv reads [B, ceil(H/2), ceil(W/2), 4C] with kernel
+    [ceil((Kh+1)/2), ceil((Kw+1)/2), 4C, O] at stride 1.
+
+    Bit-exact: pure reindexing of the same integer taps - kernel positions
+    beyond Kh/Kw get weight 0, which contributes exactly nothing in the
+    biased domain (w' = w - zw is what the conv multiplies), and the
+    zero-point epilogue's window sums are computed from the ORIGINAL
+    padded input independent of this lowering.
+
+    Why: C_in <= 4 stride-2 stems leave the MXU nearly idle - XLA runs the
+    resnet18 7x7 s2 stem at 32% of its HBM roofline (PROFILE_resnet18_b128
+    .md); phase packing quadruples the contraction depth and halves the
+    output grid, the standard TPU stem treatment.
+
+    STATUS as an XLA-level rewrite (measured v5e 2026-08-21,
+    BENCH_STEM.json ab_xla_s2d rows): RETIRED from routing - feeding the
+    packed form back to lax.conv runs at the same rate as XLA's native
+    lowering (resnet stem 614 vs 591 us native; mobilenet stem 287 vs
+    248), i.e. XLA's conv is equally limited on either form.  The
+    transform remains the layout stage of the (also retired - see its
+    STATUS) Pallas stem kernel kernels/q8stem.py; bit-exactness of the
+    transform is pinned by
+    tests/test_conv.py::test_stem_s2d_transform_bit_exact.
+    """
+    b, h, w_, c = a_pad.shape
+    kh, kw = packed.kernel_height, packed.kernel_width
+    kh2, kw2 = (kh + 1) // 2, (kw + 1) // 2
+    # Pad spatial dims to even with the biased input zero point (extra taps
+    # meet zero weights or fall outside every output window).
+    a_even = jnp.pad(a_pad, ((0, 0), (0, h & 1), (0, w_ & 1), (0, 0)),
+                     constant_values=jnp.int8(izp))
+    h2, w2 = a_even.shape[1] // 2, a_even.shape[2] // 2
+    a2 = (a_even.reshape(b, h2, 2, w2, 2, c)
+          .transpose(0, 1, 3, 2, 4, 5).reshape(b, h2, w2, 4 * c))
+    # Kernel: pad spatially to (2*kh2, 2*kw2) with biased-zero weights,
+    # then split each spatial dim into (position, phase).
+    wk = jnp.pad(packed.w, ((0, 2 * kh2 - kh), (0, 2 * kw2 - kw),
+                            (0, 0), (0, 0)))
+    o = wk.shape[-1]
+    w2k = (wk.reshape(kh2, 2, kw2, 2, c, o)
+           .transpose(0, 2, 1, 3, 4, 5).reshape(kh2, kw2, 4 * c, o))
+    return a2, w2k
+
+
+def _route_stem_pallas(packed: PackedConvWeights, strides, dilation,
+                       batch: int, rparams) -> bool:
+    """Dispatch rule for the Pallas stem kernel (kernels/q8stem.py):
+    stride-2 C_in <= 4 dense convs with kernel_zero_point == 128.
+    STATUS: the gate (TuneParams.conv_stem_pallas) is False on every
+    generation - the kernel measured 4-10x SLOWER than XLA's native
+    lowering and every alternative formulation lost or failed to compile
+    (BENCH_STEM.json); the rule stays wired so a future generation can
+    re-enable it from data."""
+    if strides != (2, 2) or dilation != (1, 1):
+        return False
+    if packed.groups != 1 or packed.kernel_height * packed.kernel_width <= 1:
+        return False
+    if packed.kzp_biased != 0:
+        return False
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    from ..config import tune_params
+    tp = tune_params()
+    return (tp.conv_stem_pallas
+            and packed.group_input_channels <= tp.conv_stem_s2d_max_cin)
+
+
 def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
                  padding=((0, 0), (0, 0)), dilation=(1, 1),
                  lhs_dilation=(1, 1)):
@@ -234,6 +305,9 @@ def q8conv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
         from ..kernels.q8dwconv import q8dwconv_pallas
         return q8dwconv_pallas(a_u8, packed, rparams, strides=strides,
                                padding=padding, dilation=dilation)
+    if _route_stem_pallas(packed, strides, dilation, a_u8.shape[0], rparams):
+        from ..kernels.q8stem import q8stem_pallas
+        return q8stem_pallas(a_u8, packed, rparams, padding=padding)
     return apply_requant(
         q8conv2d_acc(a_u8, packed, strides, padding, dilation), rparams)
 

@@ -55,6 +55,13 @@ CONV_CASES = [
     ("dw_5x5", 1, 8, 8, 8, 8, 5, 5, 8, (1, 1), ((2, 2), (2, 2)), (1, 1)),
     ("5x5_stride3", 1, 13, 13, 4, 8, 5, 5, 1, (3, 3), ((2, 2), (2, 2)), (1, 1)),
     ("tall_kernel", 1, 9, 7, 4, 6, 5, 1, 1, (1, 1), ((2, 2), (0, 0)), (1, 1)),
+    # Space-to-depth stem lowering (nn/conv._stem_space_to_depth): stride-2
+    # C_in <= 4 routes through the 2x2-phase-packed stride-1 conv.  Odd
+    # spatial sizes + asymmetric padding + all three zp combos pin the
+    # even-padding and window-sum interplay.
+    ("stem_7x7_s2", 1, 15, 14, 3, 8, 7, 7, 1, (2, 2), ((2, 3), (2, 3)), (1, 1)),
+    ("stem_3x3_s2", 2, 9, 8, 3, 8, 3, 3, 1, (2, 2), ((0, 1), (0, 1)), (1, 1)),
+    ("stem_2x2_s2", 1, 8, 8, 4, 8, 2, 2, 1, (2, 2), ((0, 0), (0, 0)), (1, 1)),
 ]
 
 
@@ -78,6 +85,58 @@ def test_conv2d_bit_exact(name, b, h, w, c, o, kh, kw, groups, strides,
     got = np.asarray(q8conv2d(jnp.asarray(a), packed, rp, strides, padding,
                               dilation))
     np.testing.assert_array_equal(got, oracles.oracle_q31(want_acc, rp))
+
+
+def test_stem_s2d_transform_bit_exact():
+    """The space-to-depth layout transform (the Pallas stem kernel's
+    stage 1) must reindex exactly: conv over the packed form == conv over
+    the original, including odd sizes, asymmetric padding, and C_in < 4."""
+    import jax
+    from jax import lax
+
+    from qnnpack_tpu.nn.conv import (_pad_input, _stem_space_to_depth,
+                                     q8conv2d_acc)
+    from qnnpack_tpu.nn.dtypes import u8_to_biased_i8
+
+    for (h, w, c, o, k, pad) in [(15, 14, 3, 8, 7, ((2, 3), (2, 3))),
+                                 (9, 8, 3, 8, 3, ((0, 1), (0, 1))),
+                                 (8, 8, 4, 8, 2, ((0, 0), (0, 0)))]:
+        a, wt, bias = make_conv_case(1, h, w, c, o, k, k, 1)
+        packed = pack_conv_weights(wt, bias, 121, 103)
+        want = np.asarray(q8conv2d_acc(jnp.asarray(a), packed, (2, 2), pad))
+        a_pad = _pad_input(u8_to_biased_i8(jnp.asarray(a)), pad,
+                           packed.izp_biased)
+        a2, w2k = _stem_space_to_depth(a_pad, packed, packed.izp_biased)
+        oh = (a_pad.shape[1] - k) // 2 + 1
+        ow = (a_pad.shape[2] - k) // 2 + 1
+        acc = lax.conv_general_dilated(
+            a2, w2k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)[:, :oh, :ow, :]
+        # Re-apply the zero-point epilogue the acc path would (zw != 0).
+        from qnnpack_tpu.nn.conv import _window_sums
+        s_a = _window_sums(a_pad.astype(jnp.int32), packed, (2, 2), (1, 1))
+        acc = acc - jnp.int32(packed.kzp_biased) * s_a \
+            + packed.bias_folded[None, None, None, :]
+        np.testing.assert_array_equal(np.asarray(acc), want)
+
+
+def test_stem_pallas_route_rule():
+    """Routing gate for the Pallas stem kernel: the kernel is RETIRED
+    (TuneParams.conv_stem_pallas False everywhere, BENCH_STEM.json), so
+    nothing may route to it; the shape preconditions stay exercised so a
+    future data-backed re-enable inherits a tested rule."""
+    from qnnpack_tpu.nn.conv import _route_stem_pallas
+    rp = make_requant_params("fp32", 0.01, 128)
+    _, wt, bias = make_conv_case(1, 15, 14, 3, 8, 7, 7, 1)
+    sym = pack_conv_weights(wt, bias, 121, 128)
+    asym = pack_conv_weights(wt, bias, 121, 103)
+    assert not _route_stem_pallas(sym, (2, 2), (1, 1), 1, rp)  # gate off
+    assert not _route_stem_pallas(asym, (2, 2), (1, 1), 1, rp)  # kzp != 128
+    assert not _route_stem_pallas(sym, (1, 1), (1, 1), 1, rp)
+    _, wt8, bias8 = make_conv_case(1, 9, 9, 8, 16, 3, 3, 1)
+    packed8 = pack_conv_weights(wt8, bias8, 121, 128)
+    assert not _route_stem_pallas(packed8, (2, 2), (1, 1), 1, rp)  # C_in > 4
 
 
 DECONV_CASES = [

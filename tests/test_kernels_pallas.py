@@ -169,3 +169,62 @@ def test_u8rmax_bit_exact():
     x = RNG.integers(0, 256, (9, 301), dtype=np.uint8)
     got = u8rmax_pallas(jnp.asarray(x), interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), x.max(axis=1))
+
+
+STEM_CASES = [
+    # h, w, c, o, k, pad  (stride fixed at 2: the kernel's contract)
+    (23, 22, 3, 8, 7, ((2, 3), (2, 3))),   # 7x7 resnet/squeezenet shape
+    (17, 18, 3, 24, 3, ((0, 1), (0, 1))),  # 3x3 mobilenet/shufflenet shape
+    (16, 16, 4, 16, 2, ((0, 0), (0, 0))),  # even kernel, C_in = 4
+    (15, 15, 1, 8, 3, ((1, 1), (1, 1))),   # single input channel
+    (33, 9, 3, 130, 5, ((2, 2), (2, 2))),  # O > one lane tile, tall input
+]
+
+
+@pytest.mark.parametrize("scheme", ["q31", "fp32"])
+@pytest.mark.parametrize("case", STEM_CASES, ids=[str(c) for c in STEM_CASES])
+def test_q8stem_bit_exact(case, scheme):
+    """Stem kernel vs the XLA conv path (itself bit-exact vs the loop-nest
+    reference): stride-2, kzp == 128 (biased 0), per-tensor requant."""
+    from qnnpack_tpu.kernels.q8stem import q8stem_pallas
+    h, w, c, o, k, pad = case
+    a = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    kern = RNG.integers(0, 256, (o, k, k, c), dtype=np.uint8)
+    bias = RNG.integers(-1000, 1000, (o,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(kern, bias, 121, 128)
+    rp = make_requant_params(scheme, 0.0037, 117)
+    want = q8conv2d(jnp.asarray(a), packed, rp, (2, 2), pad)
+    got = q8stem_pallas(jnp.asarray(a), packed, rp, padding=pad,
+                        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8stem_per_channel_bit_exact():
+    """Per-channel requant flows through the stem kernel's scale input."""
+    from qnnpack_tpu.kernels.q8stem import q8stem_pallas
+    from qnnpack_tpu.quant.params import compute_per_channel_fp32_params
+    h, w, c, o, k, pad = 19, 21, 3, 32, 7, ((2, 3), (2, 3))
+    a = RNG.integers(0, 256, (1, h, w, c), dtype=np.uint8)
+    kern = RNG.integers(0, 256, (o, k, k, c), dtype=np.uint8)
+    bias = RNG.integers(-1000, 1000, (o,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(kern, bias, 121, 128)
+    scales = (0.001 + 0.004 * RNG.random(o)).astype(np.float32)
+    rp = compute_per_channel_fp32_params(scales, 117)
+    want = q8conv2d(jnp.asarray(a), packed, rp, (2, 2), pad)
+    got = q8stem_pallas(jnp.asarray(a), packed, rp, padding=pad,
+                        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8stem_batch_tiling():
+    """Row-tile boundaries: ho not a multiple of tile_h, several tiles."""
+    from qnnpack_tpu.kernels.q8stem import q8stem_pallas
+    a = RNG.integers(0, 256, (3, 45, 31, 3), dtype=np.uint8)
+    kern = RNG.integers(0, 256, (16, 3, 3, 3), dtype=np.uint8)
+    packed = pack_conv_weights(kern, None, 121, 128)
+    rp = make_requant_params("fp32", 0.004, 121)
+    pad = ((1, 1), (1, 1))
+    want = q8conv2d(jnp.asarray(a), packed, rp, (2, 2), pad)
+    got = q8stem_pallas(jnp.asarray(a), packed, rp, padding=pad, tile_h=8,
+                        interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
