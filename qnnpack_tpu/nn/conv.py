@@ -329,6 +329,13 @@ def q8deconv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
     Lowered as an lhs-dilated convolution over spatially-flipped weights
     (flip happens at pack time with transposed=True); no inverse-stride
     indirection buffer needed (indirection.c:134-190)."""
+    if dilation == (1, 1) and max(strides) > 1:
+        # Sub-pixel phase decomposition: the measured production lowering
+        # (see _deconv_phase) - the manual-dilation fallback below scatters
+        # an s^2-x larger intermediate and ran the ENet deconvs at 12-44%
+        # of roofline (PROFILE_enet_seg_b128.md pre-fix).
+        return _deconv_phase(a_u8, packed, rparams, strides, padding,
+                             adjustment)
     kh, kw = packed.kernel_height, packed.kernel_width
     dil_h, dil_w = dilation
     eff_h, eff_w = (kh - 1) * dil_h + 1, (kw - 1) * dil_w + 1
@@ -369,3 +376,170 @@ def q8deconv2d(a_u8, packed: PackedConvWeights, rparams, strides=(1, 1),
         acc = acc - jnp.int32(zw) * s_a
     acc = acc + packed.bias_folded[None, None, None, :]
     return apply_requant(acc, rparams)
+
+
+def _deconv_phase(a_u8, packed: PackedConvWeights, rparams, strides,
+                  padding, adjustment):
+    """Transposed conv as its sub-pixel phase decomposition.
+
+    Each output phase (y % sy, x % sx) receives a FIXED subset of kernel
+    taps, so the deconv splits into sy*sx independent stride-1 VALID convs
+    with sub-kernels w[u::sy, v::sx] (tap order reversed), interleaved
+    back by a transpose-reshape - no s^2-dilated intermediate, no scatter.
+    This is the standard TPU lowering of strided transposed conv; the
+    manual-dilation fallback in q8deconv2d measured 12-44% of roofline on
+    the ENet deconvs (classifier 1.78 ms vs a 0.205 ms bound,
+    PROFILE_enet_seg_b128.md pre-fix) because it streams the s^2-x
+    scattered intermediate through HBM.
+
+    Zero-point exactness: positions OUTSIDE a phase's tap set must
+    contribute as if they read the input zero point ((za - za)(w - zw)
+    = 0 in the reference's accumulator, realized in the fallback by
+    izp-dilation).  Expanding that contribution against the biased
+    weights gives a per-phase constant correction
+        za' * (sum_all w' - sum_phase w')        [per output channel]
+    plus, for zw != 0, the phase's window-sum term over its OWN taps and
+    a za' * (count_all - count_phase) completion - all folded in below,
+    so the result is bit-identical to the fallback (asserted by
+    tests/test_conv.py::test_deconv2d_bit_exact across both paths).
+    """
+    sy, sx = strides
+    kh, kw = packed.kernel_height, packed.kernel_width
+    icpg = packed.group_input_channels
+    og = packed.group_output_channels
+    g = packed.groups
+    (pt, pb), (pl_, pr) = padding
+    ah, aw = adjustment
+    a = u8_to_biased_i8(a_u8)
+    b, h, w_, c = a.shape
+    za = packed.izp_biased
+    zw = packed.kzp_biased
+    ho = deconv_output_dims(h, pt + pb, ah, kh, 1, sy)
+    wo = deconv_output_dims(w_, pl_ + pr, aw, kw, 1, sx)
+
+    # packed.w is spatially flipped at pack time (for the lhs-dilated
+    # lowering); the phase math indexes the ORIGINAL orientation.
+    w_orig = packed.w[::-1, ::-1]  # [kh, kw, icpg, g*og]
+    w_all = jnp.sum(w_orig.astype(jnp.int32), axis=(0, 1, 2))  # [g*og]
+
+    if (kh == sy and kw == sx and pt == pb == pl_ == pr == 0
+            and ah == aw == 0):
+        # k == s upsampling deconv (the standard decoder block): every
+        # output position receives EXACTLY ONE tap, and all sy*sx phases
+        # read the identical input - so the whole op is ONE 1x1-style
+        # conv to phase-major channels followed by a depth-to-space
+        # reshape.  Measured v5e (BENCH_DECONV.json): the per-phase form
+        # below still pays sy*sx narrow-channel convs + an interleave;
+        # this form is 3-5x faster on the ENet decoders.
+        # W2 output layout per group: [sy, sx, og] phase-major.
+        w2 = jnp.transpose(
+            w_orig.reshape(kh, kw, icpg, g, og),
+            (3, 0, 1, 4, 2))               # [g, sy, sx, og, icpg]
+        w2 = jnp.transpose(
+            w2.reshape(g, sy * sx * og, icpg), (2, 0, 1)
+        ).reshape(1, 1, icpg, g * sy * sx * og)
+        acc = lax.conv_general_dilated(
+            a, w2, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g, preferred_element_type=jnp.int32)
+        # Per-channel constants: missing-taps completion + folded bias
+        # (bias tiled phase-major within each group).
+        w_phase = jnp.sum(
+            w_orig.astype(jnp.int32).reshape(kh * kw, icpg, g, og),
+            axis=1)                        # [sy*sx, g, og]
+        w_phase = jnp.transpose(w_phase, (1, 0, 2)).reshape(-1)
+        w_all_t = jnp.repeat(w_all.reshape(g, og), sy * sx,
+                             axis=0).reshape(-1)
+        bias_t = jnp.tile(
+            packed.bias_folded.reshape(g, 1, og),
+            (1, sy * sx, 1)).reshape(-1)
+        const = bias_t + jnp.int32(za) * (w_all_t - w_phase)
+        acc = acc + const[None, None, None, :]
+        if zw != 0:
+            ch = jnp.sum(a.astype(jnp.int32).reshape(b, h, w_, g, icpg),
+                         axis=-1)          # single-tap window sum [B,h,w,g]
+            s_a = jnp.repeat(ch, sy * sx * og, axis=-1)
+            s_a = s_a + jnp.int32(za) * jnp.int32((kh * kw - 1) * icpg)
+            acc = acc - jnp.int32(zw) * s_a
+        y = apply_requant(acc, rparams)
+        if g == 1:
+            # Depth-to-space with the W-interleave kept in the channel
+            # dim: [sx*og] stays the minor axis through the single
+            # transpose, and the final channel->width split is a free
+            # row-major reshape.  One data-movement pass instead of two.
+            y = y.reshape(b, h, w_, sy, sx * og)
+            y = jnp.transpose(y, (0, 1, 3, 2, 4))
+            y = y.reshape(b, h * sy, w_ * sx, og)
+        else:
+            # Grouped: the conv's g-major output layout forces the full
+            # phase transpose.
+            y = y.reshape(b, h, w_, g, sy, sx, og)
+            y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
+            y = y.reshape(b, h * sy, w_ * sx, g * og)
+        return y[:, :ho, :wo, :]
+
+    nmax = -(-ho // sy)
+    mmax = -(-wo // sx)
+
+    def phase_slices(r, s_, pad0, k, size):
+        """(taps, off, pads) for one axis: output offset r, stride s_."""
+        u = (r + pad0) % s_
+        t_count = max(0, -(-(k - u) // s_))
+        j0 = (r + pad0 - u) // s_
+        return u, t_count, j0
+
+    rows = []
+    for r in range(sy):
+        u, tu, j0u = phase_slices(r, sy, pt, kh, h)
+        cols = []
+        for q in range(sx):
+            v, tv, j0v = phase_slices(q, sx, pl_, kw, w_)
+            if tu == 0 or tv == 0:
+                # No kernel taps reach this phase: the accumulator is the
+                # pure missing-taps correction (constant per channel).
+                acc_const = (packed.bias_folded + jnp.int32(za) * w_all
+                             - jnp.int32(zw * za) * jnp.int32(kh * kw * icpg))
+                acc = jnp.broadcast_to(acc_const[None, None, None, :],
+                                       (b, nmax, mmax, g * og))
+                cols.append(apply_requant(acc, rparams))
+                continue
+            # Sub-kernel, tap order reversed along both axes.
+            ku = w_orig[u::sy][::-1]        # [tu, kw, icpg, O]
+            kuv = ku[:, v::sx][:, ::-1]     # [tu, tv, icpg, O]
+            offy = j0u - (tu - 1)
+            offx = j0v - (tv - 1)
+            padt = max(0, -offy)
+            padl = max(0, -offx)
+            padb = max(0, j0u + nmax - 1 - (h - 1))
+            padr = max(0, j0v + mmax - 1 - (w_ - 1))
+            ap = jnp.pad(a, ((0, 0), (padt, padb), (padl, padr), (0, 0)),
+                         constant_values=jnp.int8(za))
+            ap = lax.slice(
+                ap, (0, offy + padt, offx + padl, 0),
+                (b, offy + padt + nmax + tu - 1,
+                 offx + padl + mmax + tv - 1, c))
+            acc = lax.conv_general_dilated(
+                ap, kuv, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g, preferred_element_type=jnp.int32)
+            # Missing-taps completion: za' * (sum_all - sum_phase) w'.
+            w_phase = jnp.sum(kuv.astype(jnp.int32), axis=(0, 1, 2))
+            acc = acc + jnp.int32(za) * (w_all - w_phase)[None, None, None, :]
+            if zw != 0:
+                ch = jnp.sum(ap.astype(jnp.int32)
+                             .reshape(b, ap.shape[1], ap.shape[2], g, icpg),
+                             axis=-1)
+                s_a = lax.reduce_window(
+                    ch, jnp.int32(0), lax.add,
+                    window_dimensions=(1, tu, tv, 1),
+                    window_strides=(1, 1, 1, 1), padding="VALID")
+                s_a = jnp.repeat(s_a, og, axis=-1)
+                s_a = s_a + jnp.int32(za) * jnp.int32(
+                    (kh * kw - tu * tv) * icpg)
+                acc = acc - jnp.int32(zw) * s_a
+            acc = acc + packed.bias_folded[None, None, None, :]
+            cols.append(apply_requant(acc, rparams))
+        rows.append(jnp.stack(cols, axis=3))  # [B, nmax, mmax, sx, O]
+    out = jnp.stack(rows, axis=2)             # [B, nmax, sy, mmax, sx, O]
+    out = out.reshape(b, nmax * sy, mmax * sx, g * og)
+    return out[:, :ho, :wo, :]

@@ -103,6 +103,16 @@ def _make_loop(fn, n: int, chain: bool):
         def loop(x0):
             def body(s, i):
                 y = fn(_perturb(x0, i))
+                # optimization_barrier forces y to MATERIALIZE before the
+                # consuming reduction: without it XLA fuses the sum into
+                # the op's epilogue and the output never hits HBM, which
+                # inflated isolated rates of write-dominated ops past
+                # 100% of the HBM roofline (harness fix #4,
+                # BENCH_NOTES.md; e.g. a 1x1 gemm on [128,64,64,64]
+                # measured 0.045 ms vs its 0.064 ms write-inclusive
+                # bound).  chain=True bodies already write (the output IS
+                # the next input).
+                y = jax.lax.optimization_barrier(y)
                 return s + jnp.sum(y).astype(jnp.float32), ()
             return jax.lax.scan(body, jnp.float32(0), idx)[0]
     return loop

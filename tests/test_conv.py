@@ -146,6 +146,13 @@ DECONV_CASES = [
     ("3x3_stride1", 1, 6, 6, 4, 4, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (0, 0), (1, 1)),
     ("grouped", 1, 4, 4, 8, 8, 3, 3, 2, (2, 2), ((1, 1), (1, 1)), (1, 1), (1, 1)),
     ("dilated", 1, 5, 5, 4, 4, 3, 3, 1, (1, 1), ((2, 2), (2, 2)), (0, 0), (2, 2)),
+    # Phase-decomposition edges (nn/conv._deconv_phase): kernel smaller
+    # than stride -> zero-tap output phases; asymmetric stride/pad mix.
+    ("k_lt_stride", 1, 4, 5, 4, 8, 2, 2, 1, (3, 3), ((0, 0), (0, 0)), (0, 0), (1, 1)),
+    ("s3_pad_adj", 2, 5, 4, 4, 6, 3, 3, 1, (3, 2), ((1, 1), (0, 1)), (1, 0), (1, 1)),
+    # k == s fused path (single conv + depth-to-space) with groups.
+    ("k_eq_s_grouped", 2, 4, 5, 8, 12, 2, 2, 2, (2, 2), ((0, 0), (0, 0)), (0, 0), (1, 1)),
+    ("k_eq_s_3x3", 1, 4, 4, 4, 8, 3, 3, 1, (3, 3), ((0, 0), (0, 0)), (0, 0), (1, 1)),
 ]
 
 
