@@ -61,12 +61,18 @@ class TuneParams:
     small_tile_m: int = 1024
     # Grouped 1x1 conv lowering: block-diagonal dot_general (group axis as
     # a batch dim) vs XLA's feature_group_count conv.  Measured on v5e
-    # (2026-08-21, BENCH_MODELS.json shufflenet_v1 rows): the dot_general
-    # form wins ~2x at batch 1 (g3 b1 0.579 -> 0.320 ms e2e) but loses
-    # 15-23% at batch 128 (g3 b128 32,868 -> 25,348 img/s; the
-    # batch-dim transpose it needs stops fusing with neighbors at large
-    # batch).  Routed for batch <= this threshold; crossover between 32
-    # and 128 not yet mapped - 32 mirrors the dwconv rule's measured gate.
+    # (2026-08-21): the dot_general form wins ~2x at batch 1 (g3 b1
+    # 0.579 -> 0.320 ms e2e, BENCH_MODELS.json) and the crossover sweep
+    # (BENCH_GROUPED_1X1.json, b in {32,48,64,96,128} x ShuffleNet
+    # g2/g3/g4/g8 shapes) shows it TIES OR LOSES at every b >= 32
+    # (ratios 0.71-1.01) - so the gate at 32 is the measured ceiling,
+    # no longer borrowed from the dwconv rule.  Additionally the sweep
+    # caught XLA:TPU MISCOMPILING the batched int8 block-diag dot at
+    # g4 544->136 b96/b128 (45-61% of int32 accumulators wrong vs the
+    # numpy loop nest; the feature_group_count conv is exact there), so
+    # batches above the gate must stay on the conv path for correctness,
+    # not just speed.  b <= 32 cells verified bit-exact for all swept
+    # shapes.
     grouped_1x1_einsum_max_batch: int = 32
     # Pallas stem kernel (kernels/q8stem.py): stride-2 C_in <= 4 dense
     # convs (every CNN stem in the model table).  STATUS 2026-08-21:
