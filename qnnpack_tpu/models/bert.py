@@ -93,9 +93,10 @@ def build_bert_encoder(rng: np.random.Generator, cfg: BertConfig | None = None):
     lut, f16, g16, corr = build_softargmax_lut_factored(ACT_SCALE,
                                                         cfg.seq_len)
     spec["softargmax_lut"] = jnp.asarray(lut)
-    # Factored 16x16 lookup (8x cheaper, bit-identical - see the builder);
-    # None when the factorization declined, in which case the forward
-    # falls back to the plain one-hot path.
+    # Factored 16x16 lookup: the measured-fastest exact path (the round-5
+    # bilinear T16 single-pass measured 0.79x of it on the b128 score
+    # tensor, BENCH_BERT_BOUND.json); u8softargmax falls back to T16 when
+    # the factorization declines.
     spec["softargmax_fac"] = (None if f16 is None
                               else (jnp.asarray(f16), jnp.asarray(g16), corr))
     return params, spec

@@ -100,6 +100,11 @@ def build_softargmax_lut_factored(input_scale: float, channels: int):
     """Factor the 256-entry exp LUT into two 16-entry f32 tables plus a
     sparse exact-correction list - an 8x cheaper device lookup.
 
+    STATUS (round 5): still the production path - the bilinear 16x16
+    form (_lut_t16) removes the preconditions but measured 0.79x of this
+    chain on the b128 BERT scores (BENCH_BERT_BOUND.json), so it serves
+    as the fallback when this factorization declines.
+
     The table is geometric up to rounding: t[16h + l] = rint(qscale *
     exp((16h - 255)s) * exp(l s)) ~= rint(F[h] * G[l]).  The device
     computes rint_f32(F[hi] * G[lo]) with two 16-wide one-hot dots (32
@@ -156,6 +161,33 @@ def _lut_factored(idx_i32, F, G, corrections):
     return e.astype(jnp.uint32)
 
 
+def _lut_t16(idx_i32, t16_f32):
+    """t[idx] as the bilinear one-hot form onehot(idx>>4) @ T16 . onehot(
+    idx & 15), where T16 is the 256-entry table reshaped [16, 16].
+
+    Exact for every reference exp table BY CONSTRUCTION: entries are
+    integers <= 2^23 (the qscale cap, softargmax.c:86-91, applies at every
+    channel count), each is f32-exact, and 0/1 one-hot selection is exact
+    at precision=HIGHEST.  Role (measured v5e 2026-08-21,
+    BENCH_BERT_BOUND.json): the PRECONDITIONS-FREE fallback - on the b128
+    BERT score tensor it runs 2.92 ms vs the factored chain's 2.31
+    (0.79x: the [M, 16] intermediate row it materializes costs more than
+    the <= 24-entry correction list it removes), so the factored path
+    stays production where its factorization holds, and this form
+    replaces the 4.7x-slower 256-wide one-hot (_lut256: 13.63 ms on the
+    same tensor) everywhere the factorization declines."""
+    hi = idx_i32 >> 4
+    lo = idx_i32 & 15
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    dims = (((idx_i32.ndim,), (0,)), ((), ()))
+    oh = (hi[..., None] == r16).astype(jnp.float32)
+    ol = (lo[..., None] == r16).astype(jnp.float32)
+    rows = jax.lax.dot_general(oh, t16_f32, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(rows * ol, axis=-1).astype(jnp.uint32)
+
+
 def u8softargmax(x_u8, lut_u32, factored=None):
     """Quantized softmax over the last axis (compute_u8softargmax,
     operator-run.c:625-637 + u8lut32norm/scalar.c).
@@ -165,7 +197,10 @@ def u8softargmax(x_u8, lut_u32, factored=None):
     y[i] = min((e[i] * 256 + sum/2) / sum, 255).
 
     `factored`: optional (F, G, corrections) from
-    build_softargmax_lut_factored - the 8x cheaper exact lookup."""
+    build_softargmax_lut_factored - the measured-fastest exact lookup
+    (production where available); without it the bilinear 16x16 one-hot
+    form (_lut_t16) applies, exact for every reference table with no
+    preconditions."""
     x = jnp.asarray(x_u8, jnp.uint8).astype(jnp.int32)
     t = jnp.asarray(lut_u32, jnp.uint32)
     rmax = jnp.max(x, axis=-1, keepdims=True)
@@ -173,7 +208,7 @@ def u8softargmax(x_u8, lut_u32, factored=None):
     if factored is not None and factored[0] is not None:
         e = _lut_factored(idx, *factored)
     else:
-        e = _lut256(t, idx.astype(jnp.uint8))
+        e = _lut_t16(idx, t.astype(jnp.float32).reshape(16, 16))
     s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.uint32)
     # Exact uint32 floor division via per-row Barrett reciprocal: the
     # divisor is shared across the row, so one hardware divide per row

@@ -163,6 +163,8 @@ class SoftArgMax(Operator):
                         f"zero point of 0 is supported (softargmax.c:65-70)")
         self.channels = int(channels)
         from ..nn.elementwise import build_softargmax_lut_factored
+        # Factored lookup where available (measured fastest exact path);
+        # u8softargmax's T16 bilinear covers the declined cases.
         lut, f16, g16, corr = build_softargmax_lut_factored(input_scale,
                                                             channels)
         self.lut = jnp.asarray(lut)

@@ -138,6 +138,12 @@ def test_lut_onehot_bit_exact():
     t8 = RNG.integers(0, 256, (256,), dtype=np.uint8)
     got8 = np.asarray(jax.jit(_lut256)(jnp.asarray(t8), jnp.asarray(idx)))
     np.testing.assert_array_equal(got8, t8[idx])
+    # The production bilinear 16x16 lookup (round 5): all 256 indices.
+    from qnnpack_tpu.nn.elementwise import _lut_t16
+    got_t = np.asarray(jax.jit(lambda i: _lut_t16(
+        i, jnp.asarray(t, jnp.uint32).astype(jnp.float32).reshape(16, 16)))(
+            jnp.asarray(idx, jnp.int32)))
+    np.testing.assert_array_equal(got_t, t[idx])
 
 
 def test_vpu_ops_pallas_smoke():

@@ -184,3 +184,34 @@ class TestSoftargmaxFactored:
         rng = np.random.default_rng(0)
         _, spec = build_bert_encoder(rng, BertConfig(layers=1, seq_len=128))
         assert spec["softargmax_fac"] is not None
+
+    def test_t16_bilinear_all_256_indices_exact(self):
+        """The production lookup (round 5): onehot(hi) @ T16 . onehot(lo)
+        must reconstruct every table entry exactly, for tables where the
+        factored form declined as well (no preconditions)."""
+        from qnnpack_tpu.nn.elementwise import _lut_t16, build_softargmax_lut
+        for scale, channels in [(0.05, 128), (0.1, 1000), (0.5, 32),
+                                (0.01, 64), (1.0, 1)]:
+            lut = build_softargmax_lut(scale, channels)
+            idx = jnp.arange(256, dtype=jnp.int32)
+            got = np.asarray(_lut_t16(
+                idx, jnp.asarray(lut, jnp.uint32).astype(jnp.float32)
+                .reshape(16, 16)))
+            np.testing.assert_array_equal(got, np.asarray(lut, np.uint32))
+
+    def test_default_softargmax_path_matches_plain_lut(self):
+        from qnnpack_tpu.nn.elementwise import _lut256
+        lut = jnp.asarray(
+            __import__("qnnpack_tpu.nn.elementwise", fromlist=["x"])
+            .build_softargmax_lut(0.05, 200), jnp.uint32)
+        x = rand_u8(7, 200)
+        idx = jnp.asarray(x, jnp.uint8).astype(jnp.int32)
+        m = jnp.max(idx, axis=-1, keepdims=True)
+        off = (idx + (255 - m)).astype(jnp.uint8)
+        e_plain = np.asarray(_lut256(lut, off))
+        got = np.asarray(u8softargmax(jnp.asarray(x), lut))
+        # reconstruct the reference normalize from the plain-path e
+        s = e_plain.astype(np.uint64).sum(-1, keepdims=True)
+        want = np.minimum((e_plain.astype(np.uint64) * 256 + s // 2) // s,
+                          255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
