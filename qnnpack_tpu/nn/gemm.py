@@ -172,6 +172,40 @@ def q8gemm_routed(a_u8, packed: PackedGemmWeights, rparams):
     return q8gemm(a_u8, packed, rparams)
 
 
+def q8gemm_row_sums_out(a_u8, packed: PackedGemmWeights, rparams):
+    """Producer half of the XZP-style a_sum fusion (the reference's
+    precompute, operator-run.c:711-768, done one op earlier): returns
+    (y_u8, row_sums) where row_sums[m] = sum_n (y[m, n] - 128) - exactly
+    the biased row sums the NEXT kzp != 0 GEMM needs for its zero-point
+    term.  XLA fuses the reduction into this op's requant epilogue, so y
+    streams to HBM once and the row sums cost one tiny [M] store.
+
+    Measured role (BENCH_ZP_TAX.json round-5 update): feeding these into
+    q8gemm_presummed breaks the consumer's epilogue dependency on the
+    accumulator's last column - the one thing that kept the single-pass
+    w_aug path below the >= 90%-of-capability target."""
+    y = q8gemm(a_u8, packed, rparams)
+    rs = (jnp.sum(y.astype(jnp.int32), axis=-1)
+          - jnp.int32(128 * y.shape[-1]))
+    return y, rs
+
+
+def q8gemm_presummed(a_u8, row_sums_i32, packed: PackedGemmWeights, rparams):
+    """Consumer half: quantized GEMM with the dynamic kernel-zero-point
+    row sums PRECOMPUTED by the producer (q8gemm_row_sums_out).  The
+    requant epilogue depends only on each output tile's own accumulator
+    columns, so it fuses into the matmul exactly like the kzp == 0 case.
+    Bit-identical to q8gemm (the row-sum term is the same integer)."""
+    a = u8_to_biased_i8(a_u8)
+    contract = (((a.ndim - 1,), (0,)), ((), ()))
+    acc = lax.dot_general(a, packed.w, contract,
+                          preferred_element_type=jnp.int32)
+    acc = acc + packed.bias_folded
+    if packed.kzp_biased != 0:
+        acc = acc - jnp.int32(packed.kzp_biased) * row_sums_i32[..., None]
+    return apply_requant(acc, rparams)
+
+
 def q8bmm_acc(a_u8, b_u8, a_zero_point: int, b_zero_point: int):
     """Dynamic quantized matmul accumulator: both operands are activations.
 

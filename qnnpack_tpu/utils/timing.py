@@ -113,7 +113,9 @@ def _make_loop(fn, n: int, chain: bool):
                 # bound).  chain=True bodies already write (the output IS
                 # the next input).
                 y = jax.lax.optimization_barrier(y)
-                return s + jnp.sum(y).astype(jnp.float32), ()
+                tot = sum((jnp.sum(leaf).astype(jnp.float32)
+                           for leaf in jax.tree.leaves(y)), jnp.float32(0))
+                return s + tot, ()
             return jax.lax.scan(body, jnp.float32(0), idx)[0]
     return loop
 

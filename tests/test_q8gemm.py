@@ -5,6 +5,38 @@ range (so every random case is numerically interesting), and bit-exact
 assertion against the Q31 oracle."""
 
 import numpy as np
+
+
+def test_producer_presummed_chain_bit_exact():
+    """q8gemm_row_sums_out -> q8gemm_presummed must equal the plain chained
+    q8gemm result bit for bit (the row-sum term is the same integer either
+    way), including kzp != 0 on both stages."""
+    import jax.numpy as jnp
+
+    from qnnpack_tpu.nn.gemm import (q8gemm, q8gemm_presummed,
+                                     q8gemm_row_sums_out)
+    from qnnpack_tpu.nn.packing import pack_gemm_weights
+    from qnnpack_tpu.nn.requant_dispatch import make_requant_params
+
+    rng = np.random.default_rng(0xA5)
+    m, k, n = 17, 33, 29
+    x = jnp.asarray(rng.integers(0, 256, (m, k), dtype=np.int64)
+                    .astype(np.uint8))
+    w1 = rng.integers(0, 256, (k, k), dtype=np.int64).astype(np.uint8)
+    w2 = rng.integers(0, 256, (n, k), dtype=np.int64).astype(np.uint8)
+    p1 = pack_gemm_weights(w1, None, 121, 103)
+    p2 = pack_gemm_weights(w2, None, 117, 99)
+    rp = make_requant_params("fp32", 0.004, 117)
+    rp2 = make_requant_params("fp32", 0.003, 121)
+
+    a, rs = q8gemm_row_sums_out(x, p1, rp)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(q8gemm(x, p1, rp)))
+    np.testing.assert_array_equal(
+        np.asarray(rs),
+        np.asarray(a).astype(np.int64).sum(-1) - 128 * a.shape[-1])
+    got = np.asarray(q8gemm_presummed(a, rs, p2, rp2))
+    want = np.asarray(q8gemm(a, p2, rp2))
+    np.testing.assert_array_equal(got, want)
 import pytest
 
 import jax
