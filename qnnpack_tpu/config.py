@@ -85,14 +85,17 @@ class TuneParams:
     # src/init.c:69-84: no dispatch without a measured win.
     conv_stem_pallas: bool = False
     conv_stem_s2d_max_cin: int = 4
-    # Strided depthwise conv: XLA's lowering collapses on stride > 1 at
-    # large spatial sizes and small batch (measured 5-9x slower than the
-    # phase-plane Pallas kernel at 112x112 s2, batch 1-32, on v5e; XLA wins
-    # again at 56x56-and-below or batch >= 48, where its batched
-    # space-to-depth lowering kicks in and the Pallas path's host-side
-    # relayout turns bandwidth-bound).  Route to kernels/q8dwconv.py when
-    # strided AND h*w >= min_pixels AND batch <= max_batch.
-    dwconv_pallas_strided: bool = True
+    # Strided depthwise conv Pallas window.  STATUS 2026-08-21 round 5:
+    # RETIRED (False everywhere) on END-TO-END evidence
+    # (BENCH_DWCONV_WINDOW.json): the round-1 "XLA collapse" that
+    # motivated the window is an ISOLATED-PROGRAM phenomenon - isolated
+    # strided dwconvs still show Pallas wins up to 8.3x at b8, but inside
+    # a full jitted model XLA never hits the collapse mode, and e2e with
+    # the window ON measures 0.70x (imported per-channel MobileNetV2 b1)
+    # to 1.00x (zoo b1/b8) - never a win.  The rule below stays wired for
+    # a future data-backed re-enable; per-channel scales are now plumbed
+    # through the kernel either way.
+    dwconv_pallas_strided: bool = False
     dwconv_pallas_min_pixels: int = 8192
     dwconv_pallas_max_batch: int = 32
     # int8 native peak (TOPS) and HBM bandwidth (GB/s) for roofline

