@@ -41,6 +41,13 @@ class TuneParams:
     # threshold None = Pallas retired on this generation (no win window).
     pallas_gemm_threshold: int | None = None
     pallas_gemm_ceiling: int = 1 << 31
+    # kzp != 0 widens the window: XLA's dynamic-zero-point epilogue
+    # dependency costs it more than the Pallas kernel's in-kernel row
+    # sums, flipping 2048^3 to Pallas (+21%, stable across two interleaved
+    # confirmation rounds, BENCH_GEMM_CROSSOVER.json round5_kzp; 2896^3
+    # still XLA 0.74x, 4096^3 XLA 0.95x) - ceiling 2^34 includes 2048^3
+    # (2^33) and excludes 2896^3 (~2^34.5).
+    pallas_gemm_ceiling_kzp: int = 1 << 31
     pallas_gemm_min_dim: int = 1024
     pallas_gemm_max_pad_waste: float = 1.05
     # Small-shape (skinny) GEMM kernel (kernels/q8gemm_small.py): K untiled,
@@ -112,9 +119,11 @@ _TUNE_TABLE = {
     # spec sheet values used for roofline reporting only - benches probe
     # the same-day delivered capability separately (BENCH_NOTES.md).
     "tpu v5 lite": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                              pallas_gemm_ceiling_kzp=1 << 34,
                               pallas_small_gemm=True,
                               int8_peak_tops=394.0, hbm_gbps=819.0),
     "tpu v5e": TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                          pallas_gemm_ceiling_kzp=1 << 34,
                           pallas_small_gemm=True,
                           int8_peak_tops=394.0, hbm_gbps=819.0),
     # v5p / v6e rows are ESTIMATES (spec-sheet peaks, v5e-tuned thresholds

@@ -33,17 +33,25 @@ capability probe because the chip's delivered rate drifts):
 
 - 1024^3: Pallas WINS — 300,660 GOPS (79.8% cap) vs XLA 243,716 (64.7%),
   +23%, dispersion <= 0.015.  Judge-reproduced on chip (+26%).
-- 2048^3: XLA wins narrowly — 277,437 (87.6%) vs Pallas 269,523 (85.1%).
-- 2896^3: XLA wins — 282,124 (76.0%) vs Pallas 214,622 (57.8%).
+- 2048^3: kzp-DEPENDENT (round-5 re-measure, BENCH_GEMM_CROSSOVER.json
+  round5_kzp, two interleaved confirmation rounds): at kzp != 0 Pallas
+  WINS +21% (63.8 vs 77.5 us — XLA's dynamic-zp epilogue dependency
+  costs it more than the in-kernel row sums); at kzp == 0 XLA wins
+  (56.5 vs 67.4 us).
+- 2896^3: XLA wins — 282,124 (76.0%) vs Pallas 214,622 (57.8%); round-5
+  kzp != 0 re-check agrees (166.9 vs 226.1 us, 0.74x).
 - 4096^3: XLA WINS — 324,864 (87.2%, disp 0.095) vs Pallas 306,212
-  (82.2%, disp 0.042); the router sends 4096^3 to XLA.
+  (82.2%, disp 0.042); the router sends 4096^3 to XLA (round-5 kzp != 0
+  re-check 0.95x agrees).
 - 1448^3 (pads 2.83x to the tile grid): XLA wins big — 219,976 (59.5%)
-  vs Pallas 86,013 (23.3%); padding waste is unrecoverable.
+  vs Pallas 86,013 (23.3%); padding waste is unrecoverable (round-5
+  re-check 0.35x).
 
 Hence the FULL gemm_path rule (nn/gemm.py:gemm_path, thresholds in
 config.TuneParams): route to Pallas iff
-    2^30 <= M*N*K <= 2^31  (threshold AND ceiling: above ~2*1024^3 XLA's
-                            own scheduling catches up and wins)
+    2^30 <= M*N*K <= ceiling   (ceiling 2^31 for kzp == 0; 2^34 for
+                                kzp != 0, admitting 2048^3 = 2^33 and
+                                excluding 2896^3 ~ 2^34.5)
     AND min(M, N, K) >= 1024
     AND tile-padding waste <= 5%
     AND activations are rank-2 with per-tensor requantization.

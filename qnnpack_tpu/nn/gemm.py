@@ -128,8 +128,14 @@ def gemm_path(shape, packed: PackedGemmWeights, rparams, *,
     tp = tune_params() if tune is None else tune
     m, (n, k) = shape[0], (packed.n, packed.k)
     mnk = m * n * k
+    # kzp != 0 raises the window ceiling: XLA's dynamic-zp epilogue
+    # dependency costs it 2048^3 (+21% Pallas win, confirmed twice -
+    # BENCH_GEMM_CROSSOVER.json round5_kzp) while nozp keeps the tighter
+    # ceiling (XLA wins 2048^3 there by 19%).
+    ceiling = (tp.pallas_gemm_ceiling_kzp if packed.kzp_biased != 0
+               else tp.pallas_gemm_ceiling)
     if (not per_channel and tp.pallas_gemm_threshold is not None
-            and tp.pallas_gemm_threshold <= mnk <= tp.pallas_gemm_ceiling
+            and tp.pallas_gemm_threshold <= mnk <= ceiling
             and min(m, n, k) >= tp.pallas_gemm_min_dim):
         waste = (_pad_waste(m, tp.gemm_tile_m, 32)
                  * _pad_waste(n, tp.gemm_tile_n, 128)

@@ -30,6 +30,7 @@ RP = make_requant_params("fp32", 0.01, 128)
 
 
 V5E = config_mod.TuneParams("v5e", pallas_gemm_threshold=1 << 30,
+                            pallas_gemm_ceiling_kzp=1 << 34,
                             pallas_small_gemm=True)
 
 
@@ -41,9 +42,17 @@ class TestGemmPathRule:
         args = dict(backend="tpu", mode="auto", tune=V5E)
         assert gemm_path((1024, 1024), packed, RP, **args) == "pallas"
         assert gemm_path((2048, 1024), packed, RP, **args) == "pallas"
-        # Above the ceiling (2048^3 measured XLA-faster):
-        big, pbig = make_packed(n=2048, k=2048)
-        assert gemm_path((2048, 2048), pbig, RP, **args) == "xla"
+        # 2048^3: the ceiling is kzp-dependent (BENCH_GEMM_CROSSOVER
+        # round5_kzp: Pallas +21% at kzp != 0, XLA faster at kzp == 0).
+        big, pbig = make_packed(n=2048, k=2048)  # kzp=103 (biased != 0)
+        assert gemm_path((2048, 2048), pbig, RP, **args) == "pallas"
+        w0 = RNG.integers(0, 256, size=(2048, 2048),
+                          dtype=np.int64).astype(np.uint8)
+        pbig0 = pack_gemm_weights(w0, None, 121, 128)  # kzp biased 0
+        assert gemm_path((2048, 2048), pbig0, RP, **args) == "xla"
+        # Above even the kzp ceiling:
+        w4, p4 = make_packed(n=4096, k=4096)
+        assert gemm_path((4096, 4096), p4, RP, **args) == "xla"
         # Below min_dim even when M*N*K is in-window:
         skinny, pskinny = make_packed(n=512, k=1024)
         assert gemm_path((4096, 1024), pskinny, RP, **args) == "xla"
