@@ -81,6 +81,14 @@ class TuneParams:
     # not just speed.  b <= 32 cells verified bit-exact for all swept
     # shapes.
     grouped_1x1_einsum_max_batch: int = 32
+    # Above the einsum gate, grouped 1x1 can instead run as g independent
+    # dense dots over channel slices (split-GEMMs): measured v5e
+    # 2026-08-21 (BENCH_GROUPED_1X1.json split_gemms rows) this wins
+    # 1.1-2.7x over feature_group_count conv at 28x28-class spatial for
+    # g <= 3 at every batch 48-128, ties/loses at 14x14 b >= 96 and at
+    # g >= 4 (the per-group unroll overhead grows with g).
+    grouped_1x1_split_max_groups: int = 3
+    grouped_1x1_split_min_pixels: int = 784
     # Pallas stem kernel (kernels/q8stem.py): stride-2 C_in <= 4 dense
     # convs (every CNN stem in the model table).  STATUS 2026-08-21:
     # RETIRED, False on every generation - six formulations measured or

@@ -113,6 +113,18 @@ def _pad_input(a, padding, value: int):
                    constant_values=value)
 
 
+def _grouped_1x1_split(batch: int, packed, pixels: int) -> bool:
+    """Measured gate for the per-group split-GEMM lowering of grouped 1x1
+    at LARGE batch (above the einsum gate): groups <= max_groups AND
+    spatial >= min_pixels (28x28-class layers; BENCH_GROUPED_1X1.json
+    split_gemms rows)."""
+    from ..config import tune_params
+    tp = tune_params()
+    return (batch > tp.grouped_1x1_einsum_max_batch
+            and packed.groups <= tp.grouped_1x1_split_max_groups
+            and pixels >= tp.grouped_1x1_split_min_pixels)
+
+
 def _grouped_1x1_einsum(batch: int) -> bool:
     """Measured batch gate for the block-diag grouped-1x1 lowering (see
     q8conv2d_acc).  Applied on every backend, so CPU tests cover the
@@ -218,6 +230,35 @@ def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
     `lhs_dilation` > 1 realizes transposed convolution (deconv)."""
     a = u8_to_biased_i8(a_u8)  # NHWC int8
     a_pad = _pad_input(a, padding, packed.izp_biased)
+
+    if (packed.kernel_height == 1 and packed.kernel_width == 1
+            and packed.groups > 1 and packed.group_input_channels > 1
+            and strides == (1, 1) and lhs_dilation == (1, 1)
+            and _grouped_1x1_split(a_u8.shape[0], packed,
+                                   a_u8.shape[1] * a_u8.shape[2])):
+        # Large-batch grouped 1x1 as g INDEPENDENT dense dots over channel
+        # slices (slices fuse into the dots; the output concat is
+        # buffer-elided).  Measured v5e 2026-08-21
+        # (BENCH_GROUPED_1X1.json split_gemms rows): wins 1.1-2.7x over
+        # feature_group_count conv at 28x28 spatial for g <= 3 across
+        # b48-128, ties/loses at 14x14 b >= 96 and for g >= 4 - gated
+        # accordingly.  e2e validated on shufflenet_v1 g2/g3 b128.
+        g = packed.groups
+        cg = packed.group_input_channels
+        og = packed.group_output_channels
+        wg = packed.w.reshape(cg, g, og)
+        outs = []
+        for gi in range(g):
+            acc_g = lax.dot_general(
+                a_pad[..., gi * cg:(gi + 1) * cg], wg[:, gi],
+                (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            if packed.kzp_biased != 0:
+                rs = jnp.sum(a_pad[..., gi * cg:(gi + 1) * cg]
+                             .astype(jnp.int32), axis=-1, keepdims=True)
+                acc_g = acc_g - jnp.int32(packed.kzp_biased) * rs
+            outs.append(acc_g)
+        acc = jnp.concatenate(outs, axis=-1)
+        return acc + packed.bias_folded[None, None, None, :]
 
     if (packed.kernel_height == 1 and packed.kernel_width == 1
             and packed.groups > 1 and packed.group_input_channels > 1

@@ -41,8 +41,15 @@ CONV_CASES = [
     ("1x1_g8", 2, 4, 6, 32, 48, 1, 1, 8, (1, 1), ((0, 0), (0, 0)), (1, 1)),
     ("1x1_g2_pad", 1, 5, 5, 6, 10, 1, 1, 2, (1, 1), ((1, 0), (0, 1)), (1, 1)),
     ("1x1_g3_stride", 1, 7, 7, 9, 12, 1, 1, 3, (2, 2), ((0, 0), (0, 0)), (1, 1)),
-    # Batch above the einsum gate (32): exercises the grouped-conv branch.
+    # Batch above the einsum gate (32): exercises the grouped-conv branch
+    # (small spatial -> below the split-GEMM pixel gate).
     ("1x1_g2_b_above_gate", 33, 2, 3, 8, 8, 1, 1, 2, (1, 1),
+     ((0, 0), (0, 0)), (1, 1)),
+    # Batch above the gate AND >= 28x28 spatial: the split-GEMM lowering
+    # (g independent dense dots, BENCH_GROUPED_1X1.json split rows).
+    ("1x1_g2_split_gemms", 33, 28, 28, 8, 10, 1, 1, 2, (1, 1),
+     ((0, 0), (0, 0)), (1, 1)),
+    ("1x1_g3_split_gemms", 34, 28, 28, 9, 12, 1, 1, 3, (1, 1),
      ((0, 0), (0, 0)), (1, 1)),
     ("3x3", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (1, 1)),
     ("3x3_nopad", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
