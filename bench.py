@@ -133,8 +133,9 @@ def main():
                  int8_tops, hbm_gbps)
     # This isolated row sits on the measured ~3-4 us per-program execution
     # floor (its roofline is 2.5 us): see BENCH_GEMM_SMALL.json
-    # floor_analysis - in situ the same layer class runs at ~96% of
-    # roofline (PROFILE_B128.md finding #2).
+    # floor_analysis - in situ the same layer class runs without the
+    # floor (MobileNetV2 b128 e2e attains 90% of its summed per-layer
+    # roofline, PROFILE_B128.md).
     details["q8gemm_3136x256x256_note"] = "isolation-floor-bound; see BENCH_GEMM_SMALL.json floor_analysis"
 
     value = details["mobilenet_v2_224_b1_images_per_sec"]
