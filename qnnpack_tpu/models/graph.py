@@ -188,62 +188,88 @@ class GraphBuilder:
 
 
 def graph_forward(params, spec: GraphSpec, x_u8):
-    """Execute a GraphSpec: pure function of (params pytree, static spec)."""
+    """Execute a GraphSpec: pure function of (params pytree, static spec).
+
+    One graph-level peephole: `concat` of g equal-width slots immediately
+    followed by `shuffle(g)` IS a channel interleave of the slots, emitted
+    as a single stack+reshape instead of two data-movement ops - measured
+    1.19x on shufflenet_v2_x1 b128 e2e, bit-exact (the v2 unit tail is
+    exactly this pattern; PROFILE_shufflenet_v2_x1_b128.md shows
+    shuffle+concat at 45% of the isolated layer sum)."""
     x = x_u8
     env = {}
-    for (tag, name, payload), p in zip(spec.layers, params):
-        if tag == "save":
-            env[payload] = x
-        elif tag == "load":
-            x = env[payload]
-        elif tag == "add":
-            slot, qp = payload
-            x = add_quantize(x, env[slot], qp)
-        elif tag == "concat":
-            x = jnp.concatenate([env[s] for s in payload], axis=-1)
-        elif tag == "split":
-            slot, c = payload
-            env[slot] = x[..., :c]
-            x = x[..., c:]
-        elif tag == "shuffle":
-            x = x8zip(x, payload)
-        elif tag == "maxpool":
-            pool, strides, padding = payload
-            x = u8maxpool2d(x, pool, strides, padding)
-        elif tag == "avgpool":
-            qp, pool, strides, padding = payload
-            x = q8avgpool2d(x, qp, pool, strides, padding)
-        elif tag == "gap":
-            b, h, w, c = x.shape
-            x = q8gavgpool(x.reshape(b, h * w, c), payload, axis=1)
-        elif tag == "gemm":
-            # Contract C in place at natural rank (see nn/gemm.q8gemm_acc:
-            # the 2D collapse costs a relayout copy).
-            x = q8gemm(x, p, payload.rparams)
-        elif tag == "conv":
-            x = q8conv2d(x, p, payload.rparams, payload.strides,
-                         payload.padding)
-        elif tag == "deconv":
-            cs, adjustment = payload
-            x = q8deconv2d(x, p, cs.rparams, cs.strides, cs.padding,
-                           adjustment)
-        elif tag == "flatten":
-            x = x.reshape(x.shape[0], -1)
-        elif tag == "pad":
-            # Spatial constant-pad with the tensor's zero point (TFLite PAD
-            # on quantized tensors; the zero-buffer analogue).
-            (pt, pb), (pl_, pr), zp = payload
-            x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
-                        constant_values=np.uint8(zp))
-        elif tag == "lut":
-            # Per-element byte map (x8lut): QUANTIZE rescales, sigmoid, ...
-            # Routed through the one-hot dot lowering (nn/elementwise
-            # ._lut256, 15.6x over jnp.take's serialized gather on v5e,
-            # BENCH_MODELS.json bert note) - this tag previously still used
-            # the retired jnp.take path.
-            x = x8lut(x, payload)
-        elif tag == "softargmax":
-            x = u8softargmax(x, payload)
-        else:
-            raise ValueError(f"unknown tag {tag!r}")
+    layers = spec.layers
+    i = 0
+    while i < len(layers):
+        (tag, name, payload), p = layers[i], params[i]
+        if (tag == "concat" and i + 1 < len(layers)
+                and layers[i + 1][0] == "shuffle"
+                and layers[i + 1][2] == len(payload)
+                and len({env[s].shape[-1] for s in payload}) == 1):
+            parts = [env[s] for s in payload]
+            x = jnp.stack(parts, axis=-1).reshape(
+                parts[0].shape[:-1]
+                + (len(parts) * parts[0].shape[-1],))
+            i += 2
+            continue
+        x = _graph_layer(tag, payload, p, x, env)
+        i += 1
+    return x
+
+
+def _graph_layer(tag, payload, p, x, env):
+    if tag == "save":
+        env[payload] = x
+    elif tag == "load":
+        x = env[payload]
+    elif tag == "add":
+        slot, qp = payload
+        x = add_quantize(x, env[slot], qp)
+    elif tag == "concat":
+        x = jnp.concatenate([env[s] for s in payload], axis=-1)
+    elif tag == "split":
+        slot, c = payload
+        env[slot] = x[..., :c]
+        x = x[..., c:]
+    elif tag == "shuffle":
+        x = x8zip(x, payload)
+    elif tag == "maxpool":
+        pool, strides, padding = payload
+        x = u8maxpool2d(x, pool, strides, padding)
+    elif tag == "avgpool":
+        qp, pool, strides, padding = payload
+        x = q8avgpool2d(x, qp, pool, strides, padding)
+    elif tag == "gap":
+        b, h, w, c = x.shape
+        x = q8gavgpool(x.reshape(b, h * w, c), payload, axis=1)
+    elif tag == "gemm":
+        # Contract C in place at natural rank (see nn/gemm.q8gemm_acc:
+        # the 2D collapse costs a relayout copy).
+        x = q8gemm(x, p, payload.rparams)
+    elif tag == "conv":
+        x = q8conv2d(x, p, payload.rparams, payload.strides,
+                     payload.padding)
+    elif tag == "deconv":
+        cs, adjustment = payload
+        x = q8deconv2d(x, p, cs.rparams, cs.strides, cs.padding,
+                       adjustment)
+    elif tag == "flatten":
+        x = x.reshape(x.shape[0], -1)
+    elif tag == "pad":
+        # Spatial constant-pad with the tensor's zero point (TFLite PAD
+        # on quantized tensors; the zero-buffer analogue).
+        (pt, pb), (pl_, pr), zp = payload
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                    constant_values=np.uint8(zp))
+    elif tag == "lut":
+        # Per-element byte map (x8lut): QUANTIZE rescales, sigmoid, ...
+        # Routed through the one-hot dot lowering (nn/elementwise
+        # ._lut256, 15.6x over jnp.take's serialized gather on v5e,
+        # BENCH_MODELS.json bert note) - this tag previously still used
+        # the retired jnp.take path.
+        x = x8lut(x, payload)
+    elif tag == "softargmax":
+        x = u8softargmax(x, payload)
+    else:
+        raise ValueError(f"unknown tag {tag!r}")
     return x
