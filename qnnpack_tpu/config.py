@@ -85,9 +85,14 @@ class TuneParams:
     # dense dots over channel slices (split-GEMMs): measured v5e
     # 2026-08-21 (BENCH_GROUPED_1X1.json split_gemms rows) this wins
     # 1.1-2.7x over feature_group_count conv at 28x28-class spatial for
-    # g <= 3 at every batch 48-128, ties/loses at 14x14 b >= 96 and at
-    # g >= 4 (the per-group unroll overhead grows with g).
-    grouped_1x1_split_max_groups: int = 3
+    # g <= 3 at every batch 48-128 and ties/loses at 14x14 b >= 96.  The
+    # original sweep excluded g >= 4 from 14px cells only; the follow-up
+    # 28px cells (split_g48 section, same artifact) show g4 wins there
+    # too (272->68 1.59x, 68->272 2.89x; shufflenet_v1_g4 b128 e2e
+    # validated) while g8 loses (384->96 0.70x - the per-group unroll
+    # overhead at 8 dots outweighs the conv path's inefficiency), so the
+    # gate is g <= 4.
+    grouped_1x1_split_max_groups: int = 4
     grouped_1x1_split_min_pixels: int = 784
     # Pallas stem kernel (kernels/q8stem.py): stride-2 C_in <= 4 dense
     # convs (every CNN stem in the model table).  STATUS 2026-08-21:

@@ -239,10 +239,11 @@ def q8conv2d_acc(a_u8, packed: PackedConvWeights, strides=(1, 1),
         # Large-batch grouped 1x1 as g INDEPENDENT dense dots over channel
         # slices (slices fuse into the dots; the output concat is
         # buffer-elided).  Measured v5e 2026-08-21
-        # (BENCH_GROUPED_1X1.json split_gemms rows): wins 1.1-2.7x over
-        # feature_group_count conv at 28x28 spatial for g <= 3 across
-        # b48-128, ties/loses at 14x14 b >= 96 and for g >= 4 - gated
-        # accordingly.  e2e validated on shufflenet_v1 g2/g3 b128.
+        # (BENCH_GROUPED_1X1.json split_gemms + split_g48 rows): wins
+        # 1.1-2.9x over feature_group_count conv at 28x28 spatial for
+        # g <= 4 across b48-128, ties/loses at 14x14 b >= 96 and at g8
+        # (384->96 0.70x) - gated accordingly.  e2e validated on
+        # shufflenet_v1 g2/g3/g4 b128.
         g = packed.groups
         cg = packed.group_input_channels
         og = packed.group_output_channels

@@ -51,6 +51,10 @@ CONV_CASES = [
      ((0, 0), (0, 0)), (1, 1)),
     ("1x1_g3_split_gemms", 34, 28, 28, 9, 12, 1, 1, 3, (1, 1),
      ((0, 0), (0, 0)), (1, 1)),
+    # g4 joined the split window in round 5 (BENCH_GROUPED_1X1.json
+    # split_g48: 28px cells win 1.6-2.9x, e2e +41% on shufflenet_v1_g4).
+    ("1x1_g4_split_gemms", 33, 28, 28, 12, 16, 1, 1, 4, (1, 1),
+     ((0, 0), (0, 0)), (1, 1)),
     ("3x3", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((1, 1), (1, 1)), (1, 1)),
     ("3x3_nopad", 1, 8, 8, 8, 16, 3, 3, 1, (1, 1), ((0, 0), (0, 0)), (1, 1)),
     ("3x3_stride2", 1, 9, 9, 8, 16, 3, 3, 1, (2, 2), ((1, 1), (1, 1)), (1, 1)),
